@@ -1,0 +1,135 @@
+"""Engine configuration.
+
+Mirrors the reference's run options (reference: options.go:10-78) as a
+plain dataclass consumed by the wave loop, plus the URL-normalization
+flag set (reference default: purell ``FlagsAllGreedy``,
+options.go:17).  The flag constants re-state purell's public
+documentation; the normalization itself is implemented from scratch in
+:mod:`crawlspark.functions.urlnorm`.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class NormalizationFlags(enum.IntFlag):
+    """URL normalization flags (purell-compatible, public API surface).
+
+    Only the combinations exercised by the reference's tests are
+    correctness-pinned: ``ALL_GREEDY`` (the default,
+    reference options.go:17), ``USUALLY_SAFE_NON_GREEDY``
+    (tbldef_test.go:1049,1074) and ``SAFE | ADD_TRAILING_SLASH``
+    (worker_test.go:39).
+    """
+
+    NONE = 0
+    LOWERCASE_SCHEME = 1 << 0
+    LOWERCASE_HOST = 1 << 1
+    UPPERCASE_ESCAPES = 1 << 2
+    DECODE_UNNECESSARY_ESCAPES = 1 << 3
+    ENCODE_NECESSARY_ESCAPES = 1 << 4
+    REMOVE_DEFAULT_PORT = 1 << 5
+    REMOVE_EMPTY_QUERY_SEPARATOR = 1 << 6
+    REMOVE_TRAILING_SLASH = 1 << 7
+    ADD_TRAILING_SLASH = 1 << 8
+    REMOVE_DOT_SEGMENTS = 1 << 9
+    REMOVE_DIRECTORY_INDEX = 1 << 10
+    REMOVE_FRAGMENT = 1 << 11
+    FORCE_HTTP = 1 << 12
+    REMOVE_DUPLICATE_SLASHES = 1 << 13
+    REMOVE_WWW = 1 << 14
+    ADD_WWW = 1 << 15
+    SORT_QUERY = 1 << 16
+    DECODE_DWORD_HOST = 1 << 17
+    DECODE_OCTAL_HOST = 1 << 18
+    DECODE_HEX_HOST = 1 << 19
+    REMOVE_UNNECESSARY_HOST_DOTS = 1 << 20
+    REMOVE_EMPTY_PORT_SEPARATOR = 1 << 21
+
+    @classmethod
+    def safe(cls) -> "NormalizationFlags":
+        return (
+            cls.LOWERCASE_SCHEME
+            | cls.LOWERCASE_HOST
+            | cls.UPPERCASE_ESCAPES
+            | cls.DECODE_UNNECESSARY_ESCAPES
+            | cls.ENCODE_NECESSARY_ESCAPES
+            | cls.REMOVE_DEFAULT_PORT
+            | cls.REMOVE_EMPTY_QUERY_SEPARATOR
+        )
+
+    @classmethod
+    def usually_safe_greedy(cls) -> "NormalizationFlags":
+        return cls.safe() | cls.REMOVE_TRAILING_SLASH | cls.REMOVE_DOT_SEGMENTS
+
+    @classmethod
+    def usually_safe_non_greedy(cls) -> "NormalizationFlags":
+        return cls.safe() | cls.ADD_TRAILING_SLASH | cls.REMOVE_DOT_SEGMENTS
+
+    @classmethod
+    def unsafe_greedy(cls) -> "NormalizationFlags":
+        return (
+            cls.usually_safe_greedy()
+            | cls.REMOVE_DIRECTORY_INDEX
+            | cls.REMOVE_FRAGMENT
+            | cls.FORCE_HTTP
+            | cls.REMOVE_DUPLICATE_SLASHES
+            | cls.REMOVE_WWW
+            | cls.SORT_QUERY
+        )
+
+    @classmethod
+    def all_greedy(cls) -> "NormalizationFlags":
+        return (
+            cls.unsafe_greedy()
+            | cls.DECODE_DWORD_HOST
+            | cls.DECODE_OCTAL_HOST
+            | cls.DECODE_HEX_HOST
+            | cls.REMOVE_UNNECESSARY_HOST_DOTS
+            | cls.REMOVE_EMPTY_PORT_SEPARATOR
+        )
+
+
+FLAGS_SAFE = NormalizationFlags.safe()
+FLAGS_USUALLY_SAFE_GREEDY = NormalizationFlags.usually_safe_greedy()
+FLAGS_USUALLY_SAFE_NON_GREEDY = NormalizationFlags.usually_safe_non_greedy()
+FLAGS_UNSAFE_GREEDY = NormalizationFlags.unsafe_greedy()
+FLAGS_ALL_GREEDY = NormalizationFlags.all_greedy()
+
+DEFAULT_USER_AGENT = (
+    "Mozilla/5.0 (Windows NT 6.1; rv:15.0) Gecko/20120716 Firefox/15.0a2"
+)
+DEFAULT_ROBOT_USER_AGENT = "Googlebot (gocrawl v0.4)"
+
+
+@dataclass
+class Options:
+    """Static run configuration (reference: options.go:22-78).
+
+    Durations are milliseconds.  ``worker_idle_ttl_waves`` replaces the
+    reference's wall-clock ``WorkerIdleTTL`` (options.go:16) with a
+    wave-count eviction horizon, the batch-iterative analog: a host
+    whose state has been inactive for more than this many waves is
+    evicted from ``host_state`` (robots re-fetched on reappearance).
+    """
+
+    user_agent: str = DEFAULT_USER_AGENT
+    robot_user_agent: str = DEFAULT_ROBOT_USER_AGENT
+    max_visits: int = 0  # 0 = unlimited (crawler.go:303-309)
+    crawl_delay_ms: int = 5000  # DefaultCrawlDelay = 5s (options.go:15)
+    worker_idle_ttl_waves: int = 0  # 0 = never evict
+    same_host_only: bool = True
+    head_before_get: bool = False
+    url_normalization_flags: NormalizationFlags = field(
+        default_factory=NormalizationFlags.all_greedy
+    )
+    # engine knobs (no reference analog — Spark-scale machinery)
+    shuffle_partitions: int = 32
+    hot_host_salt_buckets: int = 8  # sub-keys for skewed hosts (SURVEY §4 P11)
+    hot_host_threshold: int = 10000  # pending URLs/host before salting kicks in
+    bloom_expected_per_partition: int = 1_000_000
+    bloom_fpp: float = 0.01
+    checkpoint_dir: str | None = None  # None → in-memory localCheckpoint
+    max_waves: int = 1000  # safety stop for the fixpoint loop
