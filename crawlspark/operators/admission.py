@@ -1,0 +1,134 @@
+"""Candidate admission — the reference's ``enqueueUrls`` pipeline
+(crawler.go:199-273) as one declarative DataFrame stage.
+
+Order of predicates (crawler.go): robots-URL bypass → visited probe →
+Filter hook → absolute-URL policy → http-scheme policy → same-host
+policy → stack + mark-visited.
+
+The one non-trivial piece is the **visited flag for within-wave
+duplicates**.  The reference marks a URL visited at *stack* time
+(crawler.go:263-269), and processes candidates sequentially, so the
+flag for occurrence k of a URL depends on whether some earlier
+occurrence was admitted.  Because the flag is monotone (false→true
+once), the recurrence has a closed form computable with one unordered
+window per url_norm group:
+
+    admit_if_unvisited(j) = filter(row_j, visited=false) ∧ policies(j)
+    m  = min ord over the group where admit_if_unvisited
+    is_visited(k) = seen(k) ∨ (m exists ∧ ord_k > m)
+    admitted(k)   = is_visited(k) ? admit_if_visited(k) : admit_if_unvisited(k)
+
+(no sequential scan, no UDF — pure Catalyst expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.config import Options
+from crawlspark.functions.udfs import make_canonicalize_udf
+
+# ordering tuple carried by every candidate: (parent wave, parent host,
+# parent per-host seq, link position) — a deterministic linearization of
+# the reference's per-host FIFO arrival order (popchannel.go:17-30)
+ORD_COLS = ["ord_wave", "ord_host", "ord_seq", "ord_pos"]
+
+CANDIDATE_DDL = (
+    "url string, src_url_norm string, src_host string, state string, "
+    "head_before_get boolean, ord_wave int, ord_host string, "
+    "ord_seq bigint, ord_pos int"
+)
+
+
+def _ord_rank() -> Column:
+    return F.struct(*[F.col(c) for c in ORD_COLS])
+
+
+def admit_candidates(
+    candidates: DataFrame,
+    seen: DataFrame,  # (url_norm)
+    seed_hosts: DataFrame,  # (seed_host)
+    opts: Options,
+    filter_factory=None,
+) -> DataFrame:
+    """Annotate candidates with canonical columns + admission verdicts.
+
+    Returns every candidate row with:
+      url_norm, host, path, is_robots, is_abs_http,
+      is_visited, admitted (page rows), robots_bypass (stacked robots rows)
+    Filter-hook invocation count = rows where ``counts_filter``.
+    """
+    canon = make_canonicalize_udf(opts.url_normalization_flags)
+    df = candidates.withColumn("_c", canon(F.col("url"))).select(
+        "*",
+        F.col("_c.url_norm").alias("url_norm"),
+        F.col("_c.host").alias("host"),
+        F.col("_c.path").alias("path"),
+        F.col("_c.is_robots").alias("is_robots"),
+        F.col("_c.is_abs_http").alias("is_abs_http"),
+    ).drop("_c")
+
+    # visited probe: exact membership vs the seen table (crawler.go:209).
+    # Left join (not anti) because the Filter hook *receives* the flag
+    # and may still admit visited rows (complex_test.go:203-236).
+    df = df.join(
+        seen.select(F.col("url_norm").alias("_seen_url")).withColumn(
+            "_seen", F.lit(True)
+        ),
+        df["url_norm"] == F.col("_seen_url"),
+        "left",
+    ).drop("_seen_url")
+    seen_flag = F.coalesce(F.col("_seen"), F.lit(False))
+
+    # policy predicates (crawler.go:220-229) — pure column expressions
+    same_host_ok = (
+        F.lit(True)
+        if not opts.same_host_only
+        else F.when(
+            F.col("src_host").isNotNull(), F.col("src_host") == F.col("host")
+        ).otherwise(F.col("_is_seed_host"))
+    )
+    df = df.join(
+        F.broadcast(
+            seed_hosts.select(F.col("seed_host")).withColumn("_ish", F.lit(True))
+        ),
+        df["host"] == F.col("seed_host"),
+        "left",
+    ).drop("seed_host")
+    df = df.withColumn("_is_seed_host", F.coalesce(F.col("_ish"), F.lit(False))).drop(
+        "_ish"
+    )
+
+    policies = F.col("is_abs_http") & same_host_ok
+
+    def _filter(visited: Column) -> Column:
+        if filter_factory is None:
+            return ~visited  # default Filter (ext.go:172-174)
+        return filter_factory(df, visited)
+
+    admit_if_unvisited = _filter(F.lit(False)) & policies
+    admit_if_visited = _filter(F.lit(True)) & policies
+
+    grp = Window.partitionBy("url_norm")
+    first_admit_ord = F.min(
+        F.when(admit_if_unvisited & ~seen_flag & ~F.col("is_robots"), _ord_rank())
+    ).over(grp)
+
+    is_visited = seen_flag | (
+        first_admit_ord.isNotNull() & (_ord_rank() > first_admit_ord)
+    )
+
+    admitted = (
+        ~F.col("is_robots")
+        & F.col("url_norm").isNotNull()
+        & F.when(is_visited, admit_if_visited).otherwise(admit_if_unvisited)
+    )
+
+    return (
+        df.withColumn("is_visited", is_visited)
+        .withColumn("counts_filter", ~F.col("is_robots") & F.col("url_norm").isNotNull())
+        .withColumn("admitted", admitted)
+        .withColumn("robots_bypass", F.col("is_robots"))
+        .drop("_seen", "_is_seed_host")
+    )

@@ -1,0 +1,627 @@
+"""The crawl engine — the reference's master loop (crawler.go:61-341)
+re-expressed as a driver-side fixpoint loop of DataFrame waves.
+
+One wave (SURVEY §3.1 "Spark lifecycle equivalent"):
+
+    candidates ∪ injected
+      → canonicalize (Arrow UDF) → admission (filters + visited probe)
+      → new-host robots fetch + parse → robots gate
+      → politeness schedule (window cumsum) → fetch join vs pages
+      → HEAD/GET phases → visit (extract links / visit hook) → harvest
+      → next candidates; merge seen; update host_state; append logs
+
+The loop terminates when a wave admits nothing and nothing was
+injected — the fixpoint test replacing the reference's pending-work
+refcount (crawler.go:293-297) — or when MaxVisits is reached
+(crawler.go:303-309).
+
+State (seen / host_state / next candidates) is checkpointed every wave:
+``localCheckpoint`` in memory mode, parquet + manifest under
+``opts.checkpoint_dir`` for the resumable mode (the Iceberg-commit
+analog; swap the writer for Iceberg `MERGE INTO` on a real cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlspark.config import Options
+from crawlspark.functions.udfs import (
+    extract_links_udf,
+    extract_text_udf,
+    make_canonicalize_udf,
+    make_robots_parse_udf,
+    make_visit_udf,
+    robots_allowed_udf,
+)
+from crawlspark.operators.admission import (
+    CANDIDATE_DDL,
+    ORD_COLS,
+    admit_candidates,
+)
+from crawlspark.operators.schedule import host_next_free, politeness_schedule
+from crawlspark.plans.extender import Counters, Extender
+from crawlspark.sources.pages import PagesSource
+from crawlspark.sources.seeds import seeds_df, to_seed_rows
+
+SEEN_DDL = "url_norm string, host string, wave_added int"
+HOST_STATE_DDL = (
+    "host string, rules_json string, robots_delay_ms int, "
+    "next_free_ms bigint, last_active_wave int, last_seq bigint"
+)
+VISIT_LOG_DDL = "url_norm string, host string, wave int, seq bigint"
+FETCH_LOG_DDL = (
+    "url_norm string, host string, wave int, seq bigint, fetch_rank int, "
+    "status int, delay_ms bigint, sched_ms bigint"
+)
+ERRORS_DDL = "url string, kind string, wave int"
+
+
+@dataclass
+class CrawlResult:
+    counters: Counters
+    err: str | None
+    waves: int
+    seen: DataFrame
+    visit_log: DataFrame
+    fetch_log: DataFrame
+    errors: DataFrame
+    host_state: DataFrame
+    wave_metrics: list[dict] = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: PagesSource | DataFrame,
+        opts: Options | None = None,
+        extender: Extender | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages if isinstance(pages, PagesSource) else PagesSource(pages)
+        self.opts = opts or Options()
+        self.ext = extender or Extender()
+        self._pending: list[tuple[str, str | None]] = []
+        self._robots_parse = make_robots_parse_udf(self.opts.robot_user_agent)
+        self._canon = make_canonicalize_udf(self.opts.url_normalization_flags)
+
+    # -- EnqueueChan analog (crawler.go:320-324): picked up next wave,
+    # sourceless (same-host policy checks seed hosts, crawler.go:192-194)
+    def enqueue(self, seeds) -> None:
+        self._pending.extend(to_seed_rows(seeds))
+
+    def _empty(self, ddl: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema=ddl)
+
+    def _ckpt(self, df: DataFrame, name: str, wave: int) -> DataFrame:
+        if self.opts.checkpoint_dir:
+            path = os.path.join(self.opts.checkpoint_dir, f"wave={wave}", name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _seed_candidates(self, seeds) -> DataFrame:
+        rows = [
+            (url, None, None, state, None, 0, "", i, 0)
+            for i, (url, state) in enumerate(to_seed_rows(seeds))
+        ]
+        return self.spark.createDataFrame(rows, schema=CANDIDATE_DDL)
+
+    def run(self, seeds, resume_state: dict | None = None) -> CrawlResult:
+        opts, ext = self.opts, self.ext
+        c = Counters()
+        if ext.start is not None:
+            seeds = ext.start(seeds)
+            c.start = 1
+
+        if isinstance(seeds, DataFrame):
+            sd = seeds_df(self.spark, seeds)
+            w = Window.orderBy(F.col("url"))
+            cand = sd.withColumn("ord_seq", F.row_number().over(w).cast("bigint"))
+            candidates = cand.select(
+                "url",
+                F.lit(None).cast("string").alias("src_url_norm"),
+                F.lit(None).cast("string").alias("src_host"),
+                "state",
+                F.lit(None).cast("boolean").alias("head_before_get"),
+                F.lit(0).alias("ord_wave"),
+                F.lit("").alias("ord_host"),
+                "ord_seq",
+                F.lit(0).alias("ord_pos"),
+            )
+        else:
+            candidates = self._seed_candidates(seeds)
+
+        # seed hosts (crawler.go:80-86): normalized hosts of ALL seeds,
+        # before any policy filtering
+        seed_hosts = (
+            candidates.withColumn("_c", self._canon(F.col("url")))
+            .select(F.col("_c.host").alias("seed_host"))
+            .filter(F.col("seed_host").isNotNull() & (F.col("seed_host") != ""))
+            .distinct()
+        )
+        seed_hosts = seed_hosts.localCheckpoint(eager=True)
+        n_seeds = candidates.count()
+        n_seed_hosts = seed_hosts.count()
+
+        seen = self._empty(SEEN_DDL)
+        host_state = self._empty(HOST_STATE_DDL)
+        visit_log = self._empty(VISIT_LOG_DDL)
+        fetch_log = self._empty(FETCH_LOG_DDL)
+        errors = self._empty(ERRORS_DDL)
+        wave = 0
+        err: str | None = None
+        visits_total = 0
+        wave_metrics: list[dict] = []
+
+        if resume_state:
+            seen = resume_state["seen"]
+            host_state = resume_state["host_state"]
+            candidates = resume_state["candidates"]
+            wave = resume_state["wave"]
+            visits_total = resume_state.get("visits_total", 0)
+
+        cached_df = None
+        if ext.request_robots:
+            cached_df = self.spark.createDataFrame(
+                [(h, bytes(b)) for h, b in ext.request_robots.items()],
+                schema="host string, cached_body binary",
+            )
+
+        while wave < opts.max_waves:
+            if candidates.isEmpty():
+                break
+
+            # ---- admission -------------------------------------------------
+            adm = admit_candidates(
+                candidates, seen, seed_hosts, opts, ext.filter_factory
+            ).persist()
+            agg = adm.agg(
+                F.sum(F.col("counts_filter").cast("int")).alias("n_filter"),
+                F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
+                F.sum(F.col("robots_bypass").cast("int")).alias("n_bypass"),
+            ).collect()[0]
+            c.filter += agg["n_filter"] or 0
+            n_admitted = agg["n_admitted"] or 0
+            n_bypass = agg["n_bypass"] or 0
+
+            admitted = adm.filter(F.col("admitted"))
+
+            # ---- robots discovery ------------------------------------------
+            # hosts of admitted rows without live robots state, plus
+            # harvested robots.txt rows (robots bypass, crawler.go:205-207)
+            active_hosts = admitted.select("host").union(
+                adm.filter(F.col("robots_bypass")).select("host")
+            ).distinct()
+            new_hosts = active_hosts.join(
+                host_state.select("host"), on="host", how="left_anti"
+            )
+            if cached_df is not None:
+                new_hosts = new_hosts.join(F.broadcast(cached_df), on="host", how="left")
+            else:
+                new_hosts = new_hosts.withColumn(
+                    "cached_body", F.lit(None).cast("binary")
+                )
+            new_hosts = new_hosts.localCheckpoint(eager=True)
+            n_new_hosts = new_hosts.count()
+            c.request_robots += n_new_hosts
+            c.enqueued += n_admitted + n_bypass + n_new_hosts
+
+            # fetch robots for uncached new hosts via the pages table
+            rob = new_hosts.withColumn(
+                "url_norm", F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+            )
+            rob_uncached = rob.filter(F.col("cached_body").isNull())
+            rob_fetched = self.pages.fetch(rob_uncached, url_col="url_norm").select(
+                "host", "url_norm", "status", "html"
+            )
+            rob_all = rob_fetched.unionByName(
+                rob.filter(F.col("cached_body").isNotNull()).select(
+                    "host",
+                    "url_norm",
+                    F.lit(200).alias("status"),
+                    F.col("cached_body").alias("html"),
+                )
+            )
+            parsed = rob_all.withColumn(
+                "_r", self._robots_parse(F.coalesce(F.col("status"), F.lit(404)), F.col("html"))
+            ).select(
+                "host",
+                "url_norm",
+                "status",
+                F.col("_r.rules_json").alias("rules_json"),
+                F.col("_r.crawl_delay_ms").alias("robots_delay_ms"),
+            )
+            parsed = parsed.localCheckpoint(eager=True)
+
+            # robots fetch attempts (uncached only) count as fetches and
+            # delay computations; misses are kind-fetch errors
+            # (file-fetcher semantics, fileext_test.go:42-47)
+            rob_counts = parsed.join(
+                rob.select("host", "cached_body"), on="host"
+            ).agg(
+                F.sum((F.col("cached_body").isNull()).cast("int")).alias("n_fetched"),
+                F.sum(
+                    (F.col("cached_body").isNull() & F.col("status").isNull()).cast("int")
+                ).alias("n_miss"),
+            ).collect()[0]
+            n_rob_fetched = rob_counts["n_fetched"] or 0
+            n_rob_miss = rob_counts["n_miss"] or 0
+            c.fetch += n_rob_fetched
+            c.compute_delay += n_rob_fetched
+            c.add_error("fetch", n_rob_miss)
+            errors = errors.unionByName(
+                parsed.join(rob.select("host", "cached_body"), on="host")
+                .filter(F.col("cached_body").isNull() & F.col("status").isNull())
+                .select(
+                    F.col("url_norm").alias("url"),
+                    F.lit("fetch").alias("kind"),
+                    F.lit(wave).alias("wave"),
+                )
+            )
+
+            rules_for_wave = host_state.select(
+                "host", "rules_json", "robots_delay_ms"
+            ).unionByName(parsed.select("host", "rules_json", "robots_delay_ms"))
+
+            # ---- robots gate (before fetch, worker.go:85-91) ---------------
+            gated = admitted.join(rules_for_wave, on="host", how="left").withColumn(
+                "robots_allowed",
+                F.when(
+                    F.col("rules_json").isNull(), F.lit(True)
+                ).otherwise(robots_allowed_udf(F.col("rules_json"), F.col("path"))),
+            )
+            gated = gated.persist()
+            n_disallowed = gated.filter(~F.col("robots_allowed")).count()
+            c.disallowed += n_disallowed
+
+            allowed = gated.filter(F.col("robots_allowed"))
+
+            # ---- per-host sequencing + politeness schedule -----------------
+            hs = host_state.select("host", "next_free_ms", "last_seq")
+            page_rows = allowed.join(hs, on="host", how="left").withColumn(
+                "is_head",
+                F.coalesce(F.col("head_before_get"), F.lit(opts.head_before_get)),
+            )
+            w_host = Window.partitionBy("host").orderBy(*[F.col(x) for x in ORD_COLS])
+            page_rows = page_rows.withColumn(
+                "seq",
+                F.coalesce(F.col("last_seq"), F.lit(0)) + F.row_number().over(w_host),
+            )
+
+            # ---- fetch join ------------------------------------------------
+            fetched = self.pages.fetch(page_rows, url_col="url").persist()
+
+            gate = (
+                ext.request_get(fetched)
+                if ext.request_get is not None
+                else (F.col("status").isNotNull())
+                & (F.col("status") >= 200)
+                & (F.col("status") < 300)
+            )
+            phases = (
+                F.when(~F.col("is_head"), F.array(F.lit(2)))
+                .when(F.col("status").isNull(), F.array(F.lit(1)))
+                .when(gate, F.array(F.lit(1), F.lit(2)))
+                .otherwise(F.array(F.lit(1)))
+            )
+            phased = fetched.withColumn(
+                "fetch_rank", F.explode(phases)
+            )
+
+            # MaxVisits: exact truncation over the deterministic global
+            # order (parity restricted to cases where the reference is
+            # deterministic too — SURVEY §7 "MaxVisits overshoot").
+            # Single-partition window: only ever evaluated when
+            # max_visits > 0 (small parity crawls), never on the scale path.
+            stop_after_wave = False
+            if opts.max_visits > 0:
+                is_visit_row = (
+                    (F.col("fetch_rank") == 2)
+                    & F.col("status").isNotNull()
+                    & (F.col("status") >= 200)
+                    & (F.col("status") < 300)
+                    & F.col("redirect_to").isNull()
+                )
+                w_all = Window.orderBy(
+                    *[F.col(x) for x in ORD_COLS], F.col("fetch_rank")
+                )
+                phased = phased.withColumn(
+                    "_cum_visits_excl",
+                    F.coalesce(
+                        F.sum(is_visit_row.cast("int")).over(
+                            w_all.rowsBetween(Window.unboundedPreceding, -1)
+                        ),
+                        F.lit(0),
+                    ),
+                )
+                remaining = opts.max_visits - visits_total
+                kept = phased.filter(F.col("_cum_visits_excl") < remaining)
+                dropped_any = phased.filter(
+                    F.col("_cum_visits_excl") >= remaining
+                ).limit(1).count()
+                if dropped_any:
+                    stop_after_wave = True
+                    err = "max_visits"
+                phased = kept.drop("_cum_visits_excl")
+
+            phased = phased.persist()
+
+            # head rows that completed a fetch invoke RequestGet
+            f_agg = phased.agg(
+                F.count(F.lit(1)).alias("n_fetch"),
+                F.sum(
+                    ((F.col("fetch_rank") == 1) & F.col("status").isNotNull()).cast("int")
+                ).alias("n_request_get"),
+                F.sum(
+                    (
+                        (F.col("fetch_rank") == 2)
+                        & F.col("status").isNotNull()
+                        & (F.col("status") >= 200)
+                        & (F.col("status") < 300)
+                        & F.col("redirect_to").isNull()
+                    ).cast("int")
+                ).alias("n_visits"),
+                F.sum(
+                    (
+                        F.col("status").isNull()
+                        & ((F.col("fetch_rank") == 2) | ~F.col("is_head"))
+                    ).cast("int")
+                ).alias("n_fetch_err_get"),
+                F.sum(
+                    (F.col("status").isNull() & (F.col("fetch_rank") == 1)).cast("int")
+                ).alias("n_fetch_err_head"),
+                F.sum(
+                    (
+                        F.col("redirect_to").isNotNull() & (F.col("fetch_rank") == 2)
+                    ).cast("int")
+                ).alias("n_redirects"),
+            ).collect()[0]
+            n_fetch_rows = f_agg["n_fetch"] or 0
+            c.fetch += n_fetch_rows
+            c.compute_delay += n_fetch_rows
+            c.request_get += f_agg["n_request_get"] or 0
+            n_visits = f_agg["n_visits"] or 0
+            c.visit += n_visits
+            c.visited += n_visits
+            visits_total += n_visits
+            n_fetch_errors = (f_agg["n_fetch_err_get"] or 0) + (
+                f_agg["n_fetch_err_head"] or 0
+            )
+            c.add_error("fetch", n_fetch_errors)
+
+            errors = errors.unionByName(
+                phased.filter(
+                    F.col("status").isNull()
+                    & ((F.col("fetch_rank") == 2) | (F.col("fetch_rank") == 1))
+                )
+                .select(
+                    F.col("url_norm").alias("url"),
+                    F.lit("fetch").alias("kind"),
+                    F.lit(wave).alias("wave"),
+                )
+                .dropDuplicates(["url"])  # one error per attempted URL
+            )
+
+            # ---- schedule (virtual time) -----------------------------------
+            sched_in = phased.select(
+                "url_norm", "host", "seq", "fetch_rank", "status",
+                "robots_delay_ms", "next_free_ms", *ORD_COLS,
+            ).unionByName(
+                parsed.join(rob.select("host", "cached_body"), on="host")
+                .filter(F.col("cached_body").isNull())
+                .join(hs.select("host", F.col("next_free_ms").alias("_nf")), on="host", how="left")
+                .select(
+                    "url_norm",
+                    "host",
+                    F.lit(0).cast("bigint").alias("seq"),
+                    F.lit(0).alias("fetch_rank"),
+                    "status",
+                    # the robots fetch itself is scheduled before the
+                    # crawl-delay is known → options delay (worker.go:190-204)
+                    F.lit(None).cast("int").alias("robots_delay_ms"),
+                    F.col("_nf").alias("next_free_ms"),
+                    F.lit(wave).alias("ord_wave"),
+                    F.lit("").alias("ord_host"),
+                    F.lit(-1).cast("bigint").alias("ord_seq"),
+                    F.lit(0).alias("ord_pos"),
+                )
+            )
+            scheduled = politeness_schedule(sched_in, opts, ext.compute_delay)
+            scheduled = scheduled.persist()
+            fetch_log = fetch_log.unionByName(
+                scheduled.select(
+                    "url_norm", "host", F.lit(wave).alias("wave"), "seq",
+                    "fetch_rank", "status", "delay_ms", "sched_ms",
+                )
+            )
+            next_free = host_next_free(scheduled)
+
+            # ---- visit + harvest -------------------------------------------
+            visits = phased.filter(
+                (F.col("fetch_rank") == 2)
+                & F.col("status").isNotNull()
+                & (F.col("status") >= 200)
+                & (F.col("status") < 300)
+                & F.col("redirect_to").isNull()
+            )
+            visits = visits.withColumn("text", extract_text_udf(F.col("html")))
+
+            visit_log = visit_log.unionByName(
+                visits.select("url_norm", "host", F.lit(wave).alias("wave"), "seq")
+            )
+
+            if ext.visit_fn is not None:
+                vudf = make_visit_udf(ext.visit_fn)
+                visits = visits.withColumn(
+                    "_vh", vudf(F.col("url_norm"), F.col("html"), F.col("text"))
+                )
+            else:
+                visits = visits.withColumn(
+                    "_vh",
+                    F.lit(None).cast(
+                        "array<struct<url:string,state:string>>"
+                    ),
+                )
+            visits = visits.withColumn(
+                "_harvest",
+                F.coalesce(
+                    F.col("_vh"),
+                    F.transform(
+                        extract_links_udf(F.col("html"), F.col("url")),
+                        lambda u: F.struct(
+                            u.alias("url"), F.lit(None).cast("string").alias("state")
+                        ),
+                    ),
+                ),
+            )
+
+            harvested = visits.select(
+                F.col("url_norm").alias("_src_norm"),
+                F.col("host").alias("_src_host"),
+                F.col("seq").alias("_src_seq"),
+                F.posexplode_outer(F.col("_harvest")).alias("pos", "h"),
+            ).filter(F.col("h").isNotNull()).select(
+                F.col("h.url").alias("url"),
+                F.col("_src_norm").alias("src_url_norm"),
+                F.col("_src_host").alias("src_host"),
+                F.col("h.state").alias("state"),
+                F.lit(None).cast("boolean").alias("head_before_get"),
+                F.lit(wave + 1).alias("ord_wave"),
+                F.col("_src_host").alias("ord_host"),
+                F.col("_src_seq").alias("ord_seq"),
+                F.col("pos").alias("ord_pos"),
+            )
+
+            # redirect clones keep source/state/head flag
+            # (worker.go:229-248, urlcontext.go:65-98)
+            redirect_cands = phased.filter(
+                F.col("redirect_to").isNotNull() & (F.col("fetch_rank") == 2)
+            ).select(
+                F.col("redirect_to").alias("url"),
+                "src_url_norm",
+                "src_host",
+                "state",
+                "head_before_get",
+                F.lit(wave + 1).alias("ord_wave"),
+                F.col("host").alias("ord_host"),
+                F.col("seq").alias("ord_seq"),
+                F.lit(-1).alias("ord_pos"),
+            )
+
+            next_candidates = harvested.unionByName(redirect_cands)
+
+            # ---- state updates ---------------------------------------------
+            seen = seen.unionByName(
+                admitted.select(
+                    "url_norm", "host", F.lit(wave).alias("wave_added")
+                ).dropDuplicates(["url_norm"])
+            ).dropDuplicates(["url_norm"])
+
+            active = active_hosts.withColumn("_active", F.lit(True))
+            last_seq_upd = page_rows.groupBy("host").agg(F.max("seq").alias("_new_seq"))
+            host_state = (
+                host_state.unionByName(
+                    parsed.select(
+                        "host", "rules_json", "robots_delay_ms",
+                        F.lit(None).cast("bigint").alias("next_free_ms"),
+                        F.lit(wave).alias("last_active_wave"),
+                        F.lit(0).cast("bigint").alias("last_seq"),
+                    )
+                )
+                .join(next_free.select("host", F.col("next_free_ms").alias("_nf2")), on="host", how="left")
+                .join(last_seq_upd, on="host", how="left")
+                .join(F.broadcast(active), on="host", how="left")
+                .select(
+                    "host",
+                    "rules_json",
+                    "robots_delay_ms",
+                    F.coalesce(F.col("_nf2"), F.col("next_free_ms")).alias("next_free_ms"),
+                    F.when(F.col("_active"), F.lit(wave))
+                    .otherwise(F.col("last_active_wave"))
+                    .alias("last_active_wave"),
+                    F.coalesce(F.col("_new_seq"), F.col("last_seq")).alias("last_seq"),
+                )
+            )
+            # worker idle TTL (worker.go:57-74): evict hosts idle too long;
+            # robots re-fetched if the host reappears
+            if opts.worker_idle_ttl_waves > 0:
+                host_state = host_state.filter(
+                    F.col("last_active_wave") >= wave - opts.worker_idle_ttl_waves
+                )
+
+            summary = {
+                "wave": wave,
+                "candidates": int(agg["n_filter"] or 0),
+                "admitted": int(n_admitted),
+                "new_hosts": int(n_new_hosts),
+                "disallowed": int(n_disallowed),
+                "fetches": int(n_fetch_rows + n_rob_fetched),
+                "visits": int(n_visits),
+                "visits_total": int(visits_total),
+            }
+            wave_metrics.append(summary)
+
+            if ext.on_wave_end is not None:
+                ext.on_wave_end(self, summary)
+
+            if self._pending:
+                injected = self.spark.createDataFrame(
+                    [
+                        (u, None, None, s, None, wave + 1, "￿", i, 0)
+                        for i, (u, s) in enumerate(self._pending)
+                    ],
+                    schema=CANDIDATE_DDL,
+                )
+                next_candidates = next_candidates.unionByName(injected)
+                self._pending = []
+
+            # ---- checkpoint + advance --------------------------------------
+            seen = self._ckpt(seen, "seen", wave)
+            host_state = self._ckpt(host_state, "host_state", wave)
+            candidates = self._ckpt(next_candidates, "candidates", wave)
+            visit_log = visit_log.localCheckpoint(eager=True)
+            fetch_log = fetch_log.localCheckpoint(eager=True)
+            errors = errors.localCheckpoint(eager=True)
+            if self.opts.checkpoint_dir:
+                manifest = {
+                    "wave": wave + 1,
+                    "visits_total": visits_total,
+                    "counters": vars(c).copy(),
+                }
+                manifest["counters"]["errors_by_kind"] = dict(c.errors_by_kind)
+                with open(
+                    os.path.join(self.opts.checkpoint_dir, "MANIFEST.json"), "w"
+                ) as fh:
+                    json.dump(manifest, fh)
+
+            adm.unpersist()
+            gated.unpersist()
+            fetched.unpersist()
+            phased.unpersist()
+            scheduled.unpersist()
+
+            wave += 1
+            if stop_after_wave:
+                break
+
+        c.end = 1
+        if ext.end is not None:
+            ext.end(err)
+        return CrawlResult(
+            counters=c,
+            err=err,
+            waves=wave,
+            seen=seen,
+            visit_log=visit_log,
+            fetch_log=fetch_log,
+            errors=errors,
+            host_state=host_state,
+            wave_metrics=wave_metrics,
+        )
