@@ -149,6 +149,20 @@ def fixture_pages_df(spark):
 # Synthetic Common-Crawl-style graph (bench input; seeded, distributed)
 # ----------------------------------------------------------------------
 
+def zipf_bounds(n_pages: int, n_hosts: int, zipf_s: float = 1.2) -> list[int]:
+    """Zipf-proportional CONTIGUOUS id ranges per host (driver-side, tiny):
+    host h owns page ids [bounds[h], bounds[h+1]) — same-host link targets
+    are then knowable locally, and the rank-0 host is genuinely hot."""
+    import numpy as np
+
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    w = 1.0 / ranks**zipf_s
+    sizes = np.maximum(1, np.round(w / w.sum() * n_pages)).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    bounds[-1] = max(bounds[-1], n_pages)
+    return bounds.tolist()
+
+
 def synthetic_pages(
     spark,
     n_pages: int,
@@ -167,17 +181,7 @@ def synthetic_pages(
     mapInPandas over ``spark.range`` — scales to any size without
     touching the driver.
     """
-    import numpy as np
-
-    # Zipf-proportional CONTIGUOUS id ranges per host (driver-side, tiny):
-    # host h owns ids [bounds[h], bounds[h+1]) — same-host link targets are
-    # then knowable locally, and the rank-0 host is genuinely hot.
-    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
-    w = 1.0 / ranks**zipf_s
-    sizes = np.maximum(1, np.round(w / w.sum() * n_pages)).astype(np.int64)
-    bounds = np.concatenate([[0], np.cumsum(sizes)])
-    bounds[-1] = max(bounds[-1], n_pages)
-    bounds_list = bounds.tolist()
+    bounds_list = zipf_bounds(n_pages, n_hosts, zipf_s)
 
     def gen(batches):
         import numpy as _np

@@ -163,15 +163,19 @@ VISIT_SCHEMA = ArrayType(
 
 
 def make_visit_udf(visit_fn):
-    """Wrap a user visit function (url_norm, html, text) -> list[(url, state)] | None
+    """Wrap a user visit function
+    (url_norm, src_url_norm, html, text) -> list[(url, state)] | None
     into the per-page harvest-override UDF (Extender.Visit analog,
-    ext.go:180-182).  None → engine extracts links itself."""
+    ext.go:180-182).  None → engine extracts links itself; an empty
+    list → no harvest and no link extraction (doLinks=false)."""
 
     @F.pandas_udf(VISIT_SCHEMA)
-    def visit(url_norm: pd.Series, html: pd.Series, text: pd.Series) -> pd.Series:
+    def visit(
+        url_norm: pd.Series, src_url_norm: pd.Series, html: pd.Series, text: pd.Series
+    ) -> pd.Series:
         out = []
-        for u, h, t in zip(url_norm, html, text):
-            res = visit_fn(u, bytes(h) if h is not None else None, t)
+        for u, s, h, t in zip(url_norm, src_url_norm, html, text):
+            res = visit_fn(u, s, bytes(h) if h is not None else None, t)
             if res is None:
                 out.append(None)
             else:

@@ -1,0 +1,93 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force quantized dot-product top-k — `F.zip_with` +
+`F.aggregate` (JVM-side higher-order functions, no Python).  Embeddings
+are quantized to e3 integers before the product so scores are exact
+integers, bit-identical across engines (the DuckDB oracle replays the
+same arithmetic).
+
+Scale path: LSH-bucketed variant — SimHash-style sign-random-projection
+buckets from the quantized vector, candidates restricted to the probe's
+bucket.  At 10^10 vectors, bucket both sides and the probe join is
+partition-local; brute force stays available for re-ranking candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantized(col, scale: int = 1000):
+    # float32 → double first so the multiply is engine-exact
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, query: DataFrame, k: int = 20, vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k by quantized dot product against a single-row query
+    DataFrame (column `q`).  Output: vec_id, dot_q — exact integers."""
+    q = F.broadcast(query.select(_quantized(F.col("q")).alias("_q")))
+    scored = emb.crossJoin(q).select(
+        "vec_id",
+        _dot(_quantized(F.col(vec_col)), F.col("_q")).alias("dot_q"),
+    )
+    return scored.orderBy(F.col("dot_q").desc(), F.col("vec_id")).limit(k)
+
+
+def srp_bucket(emb: DataFrame, planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection bucket id per vector (the LSH scale path).
+
+    Plane p's normal is the deterministic ±1 pattern from bit p of the
+    dimension index hash — portable arithmetic, no RNG state.
+    Output: vec_id, bucket (int).
+    """
+    qv = _quantized(F.col(vec_col))
+    bucket = None
+    for p in range(planes):
+        # ±1 sign of dimension i on plane p: bit (16+p) of the Knuth
+        # multiplicative hash of i — fixed, engine-independent
+        shift = 1 << (16 + p)
+        proj = F.aggregate(
+            F.zip_with(
+                qv,
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda x, i: F.when(
+                    ((i.cast("bigint") * 2654435761) / shift).cast("bigint") % 2 == 0,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def bucketed_topk(
+    emb: DataFrame, query: DataFrame, k: int = 20, planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: restrict brute force to the probe's SRP bucket."""
+    buckets = srp_bucket(emb, planes, vec_col)
+    qb = srp_bucket(
+        query.select(F.lit(-1).alias("vec_id"), F.col("q").alias(vec_col)),
+        planes,
+        vec_col,
+    ).select(F.col("bucket").alias("_qb"))
+    cands = emb.join(buckets, "vec_id").join(
+        F.broadcast(qb), F.col("bucket") == F.col("_qb")
+    )
+    return brute_force_topk(cands, query, k, vec_col)

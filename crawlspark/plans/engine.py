@@ -54,7 +54,7 @@ HOST_STATE_DDL = (
     "host string, rules_json string, robots_delay_ms int, "
     "next_free_ms bigint, last_active_wave int, last_seq bigint"
 )
-VISIT_LOG_DDL = "url_norm string, host string, wave int, seq bigint"
+VISIT_LOG_DDL = "url_norm string, host string, wave int, seq bigint, state string"
 FETCH_LOG_DDL = (
     "url_norm string, host string, wave int, seq bigint, fetch_rank int, "
     "status int, delay_ms bigint, sched_ms bigint"
@@ -73,6 +73,8 @@ class CrawlResult:
     errors: DataFrame
     host_state: DataFrame
     wave_metrics: list[dict] = field(default_factory=list)
+    n_seeds: int = 0
+    n_seed_hosts: int = 0
 
 
 class CrawlEngine:
@@ -115,6 +117,7 @@ class CrawlEngine:
 
     def run(self, seeds, resume_state: dict | None = None) -> CrawlResult:
         opts, ext = self.opts, self.ext
+        self._pending = []  # fresh run = fresh state (complex_test.go:101-133)
         c = Counters()
         if ext.start is not None:
             seeds = ext.start(seeds)
@@ -285,9 +288,19 @@ class CrawlEngine:
 
             # ---- per-host sequencing + politeness schedule -----------------
             hs = host_state.select("host", "next_free_ms", "last_seq")
-            page_rows = allowed.join(hs, on="host", how="left").withColumn(
+            page_rows = allowed.join(hs, on="host", how="left")
+            head_override = (
+                ext.head_factory(page_rows)
+                if ext.head_factory is not None
+                else F.lit(None).cast("boolean")
+            )
+            page_rows = page_rows.withColumn(
                 "is_head",
-                F.coalesce(F.col("head_before_get"), F.lit(opts.head_before_get)),
+                F.coalesce(
+                    head_override,
+                    F.col("head_before_get"),
+                    F.lit(opts.head_before_get),
+                ),
             )
             w_host = Window.partitionBy("host").orderBy(*[F.col(x) for x in ORD_COLS])
             page_rows = page_rows.withColumn(
@@ -454,13 +467,21 @@ class CrawlEngine:
             visits = visits.withColumn("text", extract_text_udf(F.col("html")))
 
             visit_log = visit_log.unionByName(
-                visits.select("url_norm", "host", F.lit(wave).alias("wave"), "seq")
+                visits.select(
+                    "url_norm", "host", F.lit(wave).alias("wave"), "seq", "state"
+                )
             )
 
             if ext.visit_fn is not None:
                 vudf = make_visit_udf(ext.visit_fn)
                 visits = visits.withColumn(
-                    "_vh", vudf(F.col("url_norm"), F.col("html"), F.col("text"))
+                    "_vh",
+                    vudf(
+                        F.col("url_norm"),
+                        F.col("src_url_norm"),
+                        F.col("html"),
+                        F.col("text"),
+                    ),
                 )
             else:
                 visits = visits.withColumn(
@@ -501,12 +522,14 @@ class CrawlEngine:
 
             # redirect clones keep source/state/head flag
             # (worker.go:229-248, urlcontext.go:65-98)
+            # a redirected seed uses its own URL as the clone's source
+            # (urlcontext.go:71-77)
             redirect_cands = phased.filter(
                 F.col("redirect_to").isNotNull() & (F.col("fetch_rank") == 2)
             ).select(
                 F.col("redirect_to").alias("url"),
-                "src_url_norm",
-                "src_host",
+                F.coalesce(F.col("src_url_norm"), F.col("url_norm")).alias("src_url_norm"),
+                F.coalesce(F.col("src_host"), F.col("host")).alias("src_host"),
                 "state",
                 "head_before_get",
                 F.lit(wave + 1).alias("ord_wave"),
@@ -608,6 +631,11 @@ class CrawlEngine:
             scheduled.unpersist()
 
             wave += 1
+            # reaching MaxVisits discards the limiting visit's harvest
+            # (crawler.go:300-309: stop fires before enqueueUrls)
+            if opts.max_visits > 0 and visits_total >= opts.max_visits:
+                err = "max_visits"
+                stop_after_wave = True
             if stop_after_wave:
                 break
 
@@ -624,4 +652,6 @@ class CrawlEngine:
             errors=errors,
             host_state=host_state,
             wave_metrics=wave_metrics,
+            n_seeds=n_seeds,
+            n_seed_hosts=n_seed_hosts,
         )

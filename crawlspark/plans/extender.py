@@ -30,8 +30,15 @@ class Extender:
                     (ext.go:109-114: robots delay if set else options)
     request_get:    df -> Column (bool)     after a HEAD, fetch the GET?
                     (ext.go:159-161: default 2xx status)
-    visit_fn:       (url_norm, html_bytes, text) -> list[(url, state)] | None
-                    None → engine extracts links (ext.go:180-182)
+    head_factory:   df -> Column (nullable bool) per-URL HeadBeforeGet
+                    override — the analog of the reference's Filter hook
+                    mutating ctx.HeadBeforeGet (tbldef_test.go:800-861);
+                    null → keep the candidate/options value
+    visit_fn:       (url_norm, src_url_norm, html_bytes, text) ->
+                    list[(url, state)] | None
+                    None → engine extracts links; [] → no links at all
+                    (the reference's (harvested, doLinks) pair,
+                    ext.go:180-182)
     request_robots: host -> bytes | None    cached robots bodies
                     (ext.go:164-166; CachedRobot tbldef_test.go:647-667)
     on_wave_end:    (engine, wave_summary: dict) -> None
@@ -44,6 +51,7 @@ class Extender:
     filter_factory: Optional[Callable[[DataFrame, Column], Column]] = None
     compute_delay: Optional[Callable[[DataFrame], Column]] = None
     request_get: Optional[Callable[[DataFrame], Column]] = None
+    head_factory: Optional[Callable[[DataFrame], Column]] = None
     visit_fn: Optional[Callable] = None
     request_robots: dict[str, bytes] = field(default_factory=dict)
     on_wave_end: Optional[Callable] = None

@@ -1,0 +1,75 @@
+"""Driver-contract checks: every queries() entry runs, and every
+oracle_sql() entry matches the Spark result (row multiset, column-name
+aligned) on sf0.001 — a local replica of the driver's DuckDB gate."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def test_all_queries_have_unique_names():
+    q = entry_mod.queries()
+    assert len(q) >= 20
+    missing_oracle = set(q) - set(entry_mod.oracle_sql())
+    # only intentionally non-SQL-expressible ops may omit oracles
+    assert missing_oracle <= {"embedding_ann_bucketed"}
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"url_norm", "host", "seq", "sched_ms"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_vs_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    ddf = duck.sql(oracle)
+    duck_cols = ddf.columns
+    duck_rows = ddf.fetchall()
+    s_cols, s_rows = _norm_rows(sdf.columns, spark_rows)
+    d_cols, d_rows = _norm_rows(duck_cols, duck_rows)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+    assert not mism, f"{name}: first mismatch at {mism[0]}: {s_rows[mism[0]]} vs {d_rows[mism[0]]}"
