@@ -133,3 +133,5 @@ class Options:
     bloom_fpp: float = 0.01
     checkpoint_dir: str | None = None  # None → in-memory localCheckpoint
     max_waves: int = 1000  # safety stop for the fixpoint loop
+    collect_logs: bool = True  # False: skip visit/fetch/error logs
+    # (counters stay exact) — the throughput configuration

@@ -1,0 +1,151 @@
+"""Partitioned Bloom-filter sidecar for the URL-seen probe.
+
+The north-rule's custom data structure (SURVEY §4 P1): at 10^10 URLs
+the exact seen table is too big to join every candidate against, so a
+per-partition Bloom filter (keyed by hash-partition of url_norm) runs
+as a PRE-filter: candidates that are *definitely not seen* skip the
+exact join entirely; only "maybe seen" candidates (a small, fpp-bounded
+fraction plus true duplicates) hit the big table.
+
+Construction is fully distributed: hashes are computed JVM-side with
+``xxhash64`` (two independent seeds → double hashing, Kirsch-Mitzenmacher),
+bitmaps are OR-reduced per partition with ``applyInPandas``, and stored
+as binary rows ``(pid, bitmap)`` — the Iceberg-persistable shard format
+the wave loop checkpoints.  Application broadcasts the bitmap shards
+(MBs) and tests membership in a vectorized ``mapInPandas`` pass.
+
+Guarantee: NO false negatives (a seen URL always tests "maybe"); false
+positives only cost a wasted exact-join lookup, never correctness,
+because the exact join stays authoritative.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_DDL = "pid int, bitmap binary"
+
+
+def bloom_params(expected_n: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a target fpp at expected_n insertions."""
+    m = max(64, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8  # byte align
+    k = max(1, round(m / max(1, expected_n) * math.log(2)))
+    return m, k
+
+
+def _with_hashes(df: DataFrame, url_col: str, num_partitions: int) -> DataFrame:
+    h1 = F.xxhash64(F.col(url_col))
+    h2 = F.xxhash64(F.col(url_col), F.lit(0x9E3779B9))
+    return (
+        df.withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .withColumn("_pid", F.pmod(F.col("_h1"), F.lit(num_partitions)).cast("int"))
+    )
+
+
+def build_bloom(
+    seen: DataFrame,
+    url_col: str = "url_norm",
+    num_partitions: int = 32,
+    expected_per_partition: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Build (pid, bitmap) shards from a seen table (or an increment)."""
+    m, k = bloom_params(expected_per_partition, fpp)
+
+    hashed = _with_hashes(seen, url_col, num_partitions).select("_pid", "_h1", "_h2")
+
+    def make(key, pdf):
+        import pandas as pd
+
+        bits = np.zeros(m, dtype=bool)
+        h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            bits[idx] = True
+        return pd.DataFrame(
+            {"pid": [int(key[0])], "bitmap": [np.packbits(bits).tobytes()]}
+        )
+
+    return hashed.groupBy("_pid").applyInPandas(make, BLOOM_DDL)
+
+
+def merge_blooms(blooms: DataFrame) -> DataFrame:
+    """OR together shards with the same pid (e.g. per-wave increments)."""
+
+    def orf(key, pdf):
+        import pandas as pd
+
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
+        size = max(a.size for a in arrs)
+        acc = np.zeros(size, dtype=np.uint8)
+        for a in arrs:
+            acc[: a.size] |= a
+        return pd.DataFrame({"pid": [int(key[0])], "bitmap": [acc.tobytes()]})
+
+    return blooms.groupBy("pid").applyInPandas(orf, BLOOM_DDL)
+
+
+def apply_bloom(
+    candidates: DataFrame,
+    bloom_shards: list[tuple[int, bytes]],
+    url_col: str = "url_norm",
+    num_partitions: int = 32,
+    expected_per_partition: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Annotate candidates with ``maybe_seen``.
+
+    ``bloom_shards`` is the collected (pid, bitmap) list — MB-scale, sent
+    to executors via closure broadcast.  maybe_seen=False is definitive
+    (no false negatives); maybe_seen=True requires the exact probe.
+    """
+    m, k = bloom_params(expected_per_partition, fpp)
+    shard_map = {int(pid): np.frombuffer(b, dtype=np.uint8) for pid, b in bloom_shards}
+
+    hashed = _with_hashes(candidates, url_col, num_partitions)
+    cols = candidates.columns
+
+    def test(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+            pid = pdf["_pid"].to_numpy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            # group rows by shard, vectorized bit tests
+            for p in np.unique(pid):
+                sel = pid == p
+                arr = shard_map.get(int(p))
+                if arr is None:
+                    continue  # empty shard → definitely unseen
+                mm = np.uint64(arr.size * 8)
+                acc = np.ones(int(sel.sum()), dtype=bool)
+                hh1, hh2 = h1[sel], h2[sel]
+                for i in range(k):
+                    idx = ((hh1 + np.uint64(i) * hh2) % mm).astype(np.int64)
+                    byte = arr[idx >> 3]
+                    bit = (byte >> (7 - (idx & 7).astype(np.uint8))) & 1
+                    acc &= bit.astype(bool)
+                maybe[sel] = acc
+            out = pdf[cols].copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    return hashed.mapInPandas(test, schema + ", maybe_seen boolean")
+
+
+def collect_shards(bloom_df: DataFrame) -> list[tuple[int, bytes]]:
+    return [(r["pid"], bytes(r["bitmap"])) for r in bloom_df.collect()]

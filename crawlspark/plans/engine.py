@@ -8,17 +8,28 @@ One wave (SURVEY §3.1 "Spark lifecycle equivalent"):
       → new-host robots fetch + parse → robots gate
       → politeness schedule (window cumsum) → fetch join vs pages
       → HEAD/GET phases → visit (extract links / visit hook) → harvest
-      → next candidates; merge seen; update host_state; append logs
+      → next candidates; append seen increment; update host_state
 
 The loop terminates when a wave admits nothing and nothing was
 injected — the fixpoint test replacing the reference's pending-work
 refcount (crawler.go:293-297) — or when MaxVisits is reached
 (crawler.go:303-309).
 
-State (seen / host_state / next candidates) is checkpointed every wave:
-``localCheckpoint`` in memory mode, parquet + manifest under
-``opts.checkpoint_dir`` for the resumable mode (the Iceberg-commit
-analog; swap the writer for Iceberg `MERGE INTO` on a real cluster).
+Scale design:
+- The seen table is APPEND-ONLY: each wave checkpoints only its
+  increment (new url_norms); the probe is an equi join against the
+  union of increments (on Iceberg: MERGE-free appends + storage
+  partitioning on bucket(url_norm); runtime bloom-filter join pruning
+  stays enabled in the session).
+- Logs (visit/fetch/errors) accumulate as per-wave increments and are
+  unioned lazily; ``opts.collect_logs=False`` skips them entirely for
+  throughput runs (counters still exact — they come from aggregations).
+- Per-wave state (candidates / host_state / seen increment) is
+  checkpointed: ``localCheckpoint`` in memory mode, parquet + manifest
+  under ``opts.checkpoint_dir`` for the resumable mode (the
+  Iceberg-commit analog).
+- No global ordering is ever computed unless ``max_visits > 0``
+  (exactness needs a linearization; parity crawls are small).
 """
 
 from __future__ import annotations
@@ -26,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,8 +49,8 @@ from crawlspark.functions.udfs import (
     make_canonicalize_udf,
     make_robots_parse_udf,
     make_visit_udf,
-    robots_allowed_udf,
 )
+from crawlspark.functions.udfs import robots_allowed_udf
 from crawlspark.operators.admission import (
     CANDIDATE_DDL,
     ORD_COLS,
@@ -60,6 +72,25 @@ FETCH_LOG_DDL = (
     "status int, delay_ms bigint, sched_ms bigint"
 )
 ERRORS_DDL = "url string, kind string, wave int"
+
+_TIMING = os.environ.get("CRAWLSPARK_TIMING", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    import time
+
+    t1 = time.perf_counter()
+    if _TIMING:
+        print(f"    [timing] {label}: {t1 - t0:.2f}s", flush=True)
+    return t1
+
+
+def _ok():
+    return (
+        F.col("status").isNotNull()
+        & (F.col("status") >= 200)
+        & (F.col("status") < 300)
+    )
 
 
 @dataclass
@@ -115,6 +146,44 @@ class CrawlEngine:
         ]
         return self.spark.createDataFrame(rows, schema=CANDIDATE_DDL)
 
+    def resume(self, seeds) -> "CrawlResult":
+        """Resume a crawl mid-frontier from ``opts.checkpoint_dir``.
+
+        Every wave commits (candidates, host_state, seen increments,
+        counters manifest); resume reloads the latest commit and
+        continues the fixpoint loop — the Iceberg snapshot-rollback
+        analog.  ``seeds`` must be the original seed list (it only
+        rebuilds the seed-host set; admission state comes from the
+        checkpoint).
+        """
+        ckdir = self.opts.checkpoint_dir
+        if not ckdir:
+            raise ValueError("resume requires opts.checkpoint_dir")
+        with open(os.path.join(ckdir, "MANIFEST.json")) as fh:
+            manifest = json.load(fh)
+        wave = manifest["wave"]
+        last = wave - 1
+        seen_paths = [
+            os.path.join(ckdir, f"wave={w}", "seen_inc") for w in range(wave)
+        ]
+        seen = reduce(
+            DataFrame.unionByName,
+            [self.spark.read.parquet(p) for p in seen_paths],
+        )
+        state = {
+            "seen": seen,
+            "host_state": self.spark.read.parquet(
+                os.path.join(ckdir, f"wave={last}", "host_state")
+            ),
+            "candidates": self.spark.read.parquet(
+                os.path.join(ckdir, f"wave={last}", "candidates")
+            ),
+            "wave": wave,
+            "visits_total": manifest["visits_total"],
+            "counters": manifest["counters"],
+        }
+        return self.run(seeds, resume_state=state)
+
     def run(self, seeds, resume_state: dict | None = None) -> CrawlResult:
         opts, ext = self.opts, self.ext
         self._pending = []  # fresh run = fresh state (complex_test.go:101-133)
@@ -140,6 +209,7 @@ class CrawlEngine:
             )
         else:
             candidates = self._seed_candidates(seeds)
+        candidates = candidates.localCheckpoint(eager=True)
 
         # seed hosts (crawler.go:80-86): normalized hosts of ALL seeds,
         # before any policy filtering
@@ -148,27 +218,31 @@ class CrawlEngine:
             .select(F.col("_c.host").alias("seed_host"))
             .filter(F.col("seed_host").isNotNull() & (F.col("seed_host") != ""))
             .distinct()
-        )
-        seed_hosts = seed_hosts.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
         n_seeds = candidates.count()
         n_seed_hosts = seed_hosts.count()
 
-        seen = self._empty(SEEN_DDL)
+        seen_parts: list[DataFrame] = [self._empty(SEEN_DDL)]
+        visit_parts: list[DataFrame] = [self._empty(VISIT_LOG_DDL)]
+        fetch_parts: list[DataFrame] = [self._empty(FETCH_LOG_DDL)]
+        error_parts: list[DataFrame] = [self._empty(ERRORS_DDL)]
         host_state = self._empty(HOST_STATE_DDL)
-        visit_log = self._empty(VISIT_LOG_DDL)
-        fetch_log = self._empty(FETCH_LOG_DDL)
-        errors = self._empty(ERRORS_DDL)
         wave = 0
         err: str | None = None
         visits_total = 0
         wave_metrics: list[dict] = []
 
         if resume_state:
-            seen = resume_state["seen"]
+            seen_parts = [resume_state["seen"]]
             host_state = resume_state["host_state"]
             candidates = resume_state["candidates"]
             wave = resume_state["wave"]
             visits_total = resume_state.get("visits_total", 0)
+            for key, val in resume_state.get("counters", {}).items():
+                if key == "errors_by_kind":
+                    c.errors_by_kind.update(val)
+                elif hasattr(c, key):
+                    setattr(c, key, val)
 
         cached_df = None
         if ext.request_robots:
@@ -177,116 +251,125 @@ class CrawlEngine:
                 schema="host string, cached_body binary",
             )
 
+        import time as _time
+
         while wave < opts.max_waves:
+            _t = _time.perf_counter()
             if candidates.isEmpty():
                 break
+            _t = _tick("isEmpty", _t)
+            seen = reduce(DataFrame.unionByName, seen_parts)
 
-            # ---- admission -------------------------------------------------
+            # ---- admission ---------------------------------------------
             adm = admit_candidates(
                 candidates, seen, seed_hosts, opts, ext.filter_factory
             ).persist()
-            agg = adm.agg(
-                F.sum(F.col("counts_filter").cast("int")).alias("n_filter"),
-                F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
-                F.sum(F.col("robots_bypass").cast("int")).alias("n_bypass"),
-            ).collect()[0]
-            c.filter += agg["n_filter"] or 0
-            n_admitted = agg["n_admitted"] or 0
-            n_bypass = agg["n_bypass"] or 0
-
             admitted = adm.filter(F.col("admitted"))
 
-            # ---- robots discovery ------------------------------------------
-            # hosts of admitted rows without live robots state, plus
-            # harvested robots.txt rows (robots bypass, crawler.go:205-207)
-            active_hosts = admitted.select("host").union(
-                adm.filter(F.col("robots_bypass")).select("host")
-            ).distinct()
+            # ---- robots discovery --------------------------------------
+            active_hosts = (
+                admitted.select("host")
+                .union(adm.filter(F.col("robots_bypass")).select("host"))
+                .distinct()
+            )
             new_hosts = active_hosts.join(
                 host_state.select("host"), on="host", how="left_anti"
             )
             if cached_df is not None:
-                new_hosts = new_hosts.join(F.broadcast(cached_df), on="host", how="left")
+                new_hosts = new_hosts.join(
+                    F.broadcast(cached_df), on="host", how="left"
+                )
             else:
                 new_hosts = new_hosts.withColumn(
                     "cached_body", F.lit(None).cast("binary")
                 )
-            new_hosts = new_hosts.localCheckpoint(eager=True)
-            n_new_hosts = new_hosts.count()
-            c.request_robots += n_new_hosts
-            c.enqueued += n_admitted + n_bypass + n_new_hosts
 
-            # fetch robots for uncached new hosts via the pages table
             rob = new_hosts.withColumn(
-                "url_norm", F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+                "url_norm",
+                F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")),
             )
-            rob_uncached = rob.filter(F.col("cached_body").isNull())
-            rob_fetched = self.pages.fetch(rob_uncached, url_col="url_norm").select(
-                "host", "url_norm", "status", "html"
-            )
+            rob_fetched = self.pages.fetch_robots(
+                rob.filter(F.col("cached_body").isNull()), url_col="url_norm"
+            ).select("host", "url_norm", "status", "html", F.lit(False).alias("cached"))
             rob_all = rob_fetched.unionByName(
                 rob.filter(F.col("cached_body").isNotNull()).select(
                     "host",
                     "url_norm",
                     F.lit(200).alias("status"),
                     F.col("cached_body").alias("html"),
+                    F.lit(True).alias("cached"),
                 )
             )
             parsed = rob_all.withColumn(
-                "_r", self._robots_parse(F.coalesce(F.col("status"), F.lit(404)), F.col("html"))
+                "_r",
+                self._robots_parse(
+                    F.coalesce(F.col("status"), F.lit(404)), F.col("html")
+                ),
             ).select(
                 "host",
                 "url_norm",
                 "status",
+                "cached",
                 F.col("_r.rules_json").alias("rules_json"),
                 F.col("_r.crawl_delay_ms").alias("robots_delay_ms"),
             )
             parsed = parsed.localCheckpoint(eager=True)
-
-            # robots fetch attempts (uncached only) count as fetches and
-            # delay computations; misses are kind-fetch errors
-            # (file-fetcher semantics, fileext_test.go:42-47)
-            rob_counts = parsed.join(
-                rob.select("host", "cached_body"), on="host"
-            ).agg(
-                F.sum((F.col("cached_body").isNull()).cast("int")).alias("n_fetched"),
-                F.sum(
-                    (F.col("cached_body").isNull() & F.col("status").isNull()).cast("int")
-                ).alias("n_miss"),
+            _t = _tick("robots_parse_ckpt", _t)
+            rc = parsed.agg(
+                F.count(F.lit(1)).alias("n_hosts"),
+                F.sum((~F.col("cached")).cast("int")).alias("n_fetched"),
+                F.sum((~F.col("cached") & F.col("status").isNull()).cast("int")).alias(
+                    "n_miss"
+                ),
             ).collect()[0]
-            n_rob_fetched = rob_counts["n_fetched"] or 0
-            n_rob_miss = rob_counts["n_miss"] or 0
+            _t = _tick("robots_counts", _t)
+            n_new_hosts = rc["n_hosts"] or 0
+            n_rob_fetched = rc["n_fetched"] or 0
+            n_rob_miss = rc["n_miss"] or 0
+            c.request_robots += n_new_hosts
             c.fetch += n_rob_fetched
             c.compute_delay += n_rob_fetched
+            # robots misses are kind-fetch errors (file-fetcher semantics,
+            # fileext_test.go:42-47)
             c.add_error("fetch", n_rob_miss)
-            errors = errors.unionByName(
-                parsed.join(rob.select("host", "cached_body"), on="host")
-                .filter(F.col("cached_body").isNull() & F.col("status").isNull())
-                .select(
-                    F.col("url_norm").alias("url"),
-                    F.lit("fetch").alias("kind"),
-                    F.lit(wave).alias("wave"),
+            if opts.collect_logs and n_rob_miss:
+                error_parts.append(
+                    parsed.filter(~F.col("cached") & F.col("status").isNull())
+                    .select(
+                        F.col("url_norm").alias("url"),
+                        F.lit("fetch").alias("kind"),
+                        F.lit(wave).alias("wave"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-            )
 
             rules_for_wave = host_state.select(
                 "host", "rules_json", "robots_delay_ms"
             ).unionByName(parsed.select("host", "rules_json", "robots_delay_ms"))
 
-            # ---- robots gate (before fetch, worker.go:85-91) ---------------
-            gated = admitted.join(rules_for_wave, on="host", how="left").withColumn(
+            # ---- robots gate (before fetch, worker.go:85-91) ------------
+            # Counter strategy: all wave counters come from ONE combined
+            # aggregation that runs AFTER the wave's checkpoints, when
+            # `gated` and `phased` are already materialized in cache —
+            # the agg is a cheap cache scan, not a recompute.
+            gate_metrics = [
+                F.sum(F.col("counts_filter").cast("int")).alias("n_filter"),
+                F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
+                F.sum(F.col("robots_bypass").cast("int")).alias("n_bypass"),
+                F.sum(
+                    (F.col("admitted") & ~F.col("robots_allowed")).cast("int")
+                ).alias("n_disallowed"),
+            ]
+            gated = adm.join(rules_for_wave, on="host", how="left").withColumn(
                 "robots_allowed",
-                F.when(
-                    F.col("rules_json").isNull(), F.lit(True)
-                ).otherwise(robots_allowed_udf(F.col("rules_json"), F.col("path"))),
-            )
-            gated = gated.persist()
-            n_disallowed = gated.filter(~F.col("robots_allowed")).count()
-            c.disallowed += n_disallowed
-
+                F.col("admitted")
+                & F.when(F.col("rules_json").isNull(), F.lit(True)).otherwise(
+                    robots_allowed_udf(F.col("rules_json"), F.col("path"))
+                ),
+            ).persist()
             allowed = gated.filter(F.col("robots_allowed"))
 
-            # ---- per-host sequencing + politeness schedule -----------------
+            # ---- per-host sequencing ------------------------------------
             hs = host_state.select("host", "next_free_ms", "last_seq")
             page_rows = allowed.join(hs, on="host", how="left")
             head_override = (
@@ -308,15 +391,13 @@ class CrawlEngine:
                 F.coalesce(F.col("last_seq"), F.lit(0)) + F.row_number().over(w_host),
             )
 
-            # ---- fetch join ------------------------------------------------
-            fetched = self.pages.fetch(page_rows, url_col="url").persist()
+            # ---- fetch join ---------------------------------------------
+            fetched = self.pages.fetch(page_rows, url_col="url")
 
             gate = (
                 ext.request_get(fetched)
                 if ext.request_get is not None
-                else (F.col("status").isNotNull())
-                & (F.col("status") >= 200)
-                & (F.col("status") < 300)
+                else _ok()
             )
             phases = (
                 F.when(~F.col("is_head"), F.array(F.lit(2)))
@@ -324,23 +405,15 @@ class CrawlEngine:
                 .when(gate, F.array(F.lit(1), F.lit(2)))
                 .otherwise(F.array(F.lit(1)))
             )
-            phased = fetched.withColumn(
-                "fetch_rank", F.explode(phases)
-            )
+            phased = fetched.withColumn("fetch_rank", F.explode(phases))
 
             # MaxVisits: exact truncation over the deterministic global
-            # order (parity restricted to cases where the reference is
-            # deterministic too — SURVEY §7 "MaxVisits overshoot").
-            # Single-partition window: only ever evaluated when
+            # order.  Single-partition window — only ever evaluated when
             # max_visits > 0 (small parity crawls), never on the scale path.
             stop_after_wave = False
             if opts.max_visits > 0:
                 is_visit_row = (
-                    (F.col("fetch_rank") == 2)
-                    & F.col("status").isNotNull()
-                    & (F.col("status") >= 200)
-                    & (F.col("status") < 300)
-                    & F.col("redirect_to").isNull()
+                    (F.col("fetch_rank") == 2) & _ok() & F.col("redirect_to").isNull()
                 )
                 w_all = Window.orderBy(
                     *[F.col(x) for x in ORD_COLS], F.col("fetch_rank")
@@ -355,89 +428,66 @@ class CrawlEngine:
                     ),
                 )
                 remaining = opts.max_visits - visits_total
-                kept = phased.filter(F.col("_cum_visits_excl") < remaining)
-                dropped_any = phased.filter(
-                    F.col("_cum_visits_excl") >= remaining
-                ).limit(1).count()
+                dropped_any = (
+                    phased.filter(F.col("_cum_visits_excl") >= remaining)
+                    .limit(1)
+                    .count()
+                )
                 if dropped_any:
                     stop_after_wave = True
                     err = "max_visits"
-                phased = kept.drop("_cum_visits_excl")
+                phased = phased.filter(
+                    F.col("_cum_visits_excl") < remaining
+                ).drop("_cum_visits_excl")
 
-            phased = phased.persist()
-
-            # head rows that completed a fetch invoke RequestGet
-            f_agg = phased.agg(
+            fetch_metrics = [
                 F.count(F.lit(1)).alias("n_fetch"),
                 F.sum(
-                    ((F.col("fetch_rank") == 1) & F.col("status").isNotNull()).cast("int")
+                    ((F.col("fetch_rank") == 1) & F.col("status").isNotNull()).cast(
+                        "int"
+                    )
                 ).alias("n_request_get"),
                 F.sum(
                     (
                         (F.col("fetch_rank") == 2)
-                        & F.col("status").isNotNull()
-                        & (F.col("status") >= 200)
-                        & (F.col("status") < 300)
+                        & _ok()
                         & F.col("redirect_to").isNull()
                     ).cast("int")
                 ).alias("n_visits"),
-                F.sum(
-                    (
-                        F.col("status").isNull()
-                        & ((F.col("fetch_rank") == 2) | ~F.col("is_head"))
-                    ).cast("int")
-                ).alias("n_fetch_err_get"),
-                F.sum(
-                    (F.col("status").isNull() & (F.col("fetch_rank") == 1)).cast("int")
-                ).alias("n_fetch_err_head"),
-                F.sum(
-                    (
-                        F.col("redirect_to").isNotNull() & (F.col("fetch_rank") == 2)
-                    ).cast("int")
-                ).alias("n_redirects"),
-            ).collect()[0]
-            n_fetch_rows = f_agg["n_fetch"] or 0
-            c.fetch += n_fetch_rows
-            c.compute_delay += n_fetch_rows
-            c.request_get += f_agg["n_request_get"] or 0
-            n_visits = f_agg["n_visits"] or 0
-            c.visit += n_visits
-            c.visited += n_visits
-            visits_total += n_visits
-            n_fetch_errors = (f_agg["n_fetch_err_get"] or 0) + (
-                f_agg["n_fetch_err_head"] or 0
-            )
-            c.add_error("fetch", n_fetch_errors)
+                F.sum(F.col("status").isNull().cast("int")).alias("n_fetch_err"),
+            ]
+            phased = phased.persist()
 
-            errors = errors.unionByName(
-                phased.filter(
-                    F.col("status").isNull()
-                    & ((F.col("fetch_rank") == 2) | (F.col("fetch_rank") == 1))
+            if opts.collect_logs:
+                error_parts.append(
+                    phased.filter(F.col("status").isNull())
+                    .select(
+                        F.col("url_norm").alias("url"),
+                        F.lit("fetch").alias("kind"),
+                        F.lit(wave).alias("wave"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .select(
-                    F.col("url_norm").alias("url"),
-                    F.lit("fetch").alias("kind"),
-                    F.lit(wave).alias("wave"),
-                )
-                .dropDuplicates(["url"])  # one error per attempted URL
-            )
 
-            # ---- schedule (virtual time) -----------------------------------
+            # ---- schedule (virtual time) --------------------------------
             sched_in = phased.select(
                 "url_norm", "host", "seq", "fetch_rank", "status",
                 "robots_delay_ms", "next_free_ms", *ORD_COLS,
             ).unionByName(
-                parsed.join(rob.select("host", "cached_body"), on="host")
-                .filter(F.col("cached_body").isNull())
-                .join(hs.select("host", F.col("next_free_ms").alias("_nf")), on="host", how="left")
+                parsed.filter(~F.col("cached"))
+                .join(
+                    hs.select("host", F.col("next_free_ms").alias("_nf")),
+                    on="host",
+                    how="left",
+                )
                 .select(
                     "url_norm",
                     "host",
                     F.lit(0).cast("bigint").alias("seq"),
                     F.lit(0).alias("fetch_rank"),
                     "status",
-                    # the robots fetch itself is scheduled before the
-                    # crawl-delay is known → options delay (worker.go:190-204)
+                    # the robots fetch is scheduled before the crawl-delay
+                    # is known → options delay (worker.go:190-204)
                     F.lit(None).cast("int").alias("robots_delay_ms"),
                     F.col("_nf").alias("next_free_ms"),
                     F.lit(wave).alias("ord_wave"),
@@ -447,48 +497,41 @@ class CrawlEngine:
                 )
             )
             scheduled = politeness_schedule(sched_in, opts, ext.compute_delay)
-            scheduled = scheduled.persist()
-            fetch_log = fetch_log.unionByName(
-                scheduled.select(
-                    "url_norm", "host", F.lit(wave).alias("wave"), "seq",
-                    "fetch_rank", "status", "delay_ms", "sched_ms",
+            if opts.collect_logs:
+                scheduled = scheduled.persist()
+                fetch_parts.append(
+                    scheduled.select(
+                        "url_norm", "host", F.lit(wave).alias("wave"), "seq",
+                        "fetch_rank", "status", "delay_ms", "sched_ms",
+                    ).localCheckpoint(eager=True)
                 )
-            )
             next_free = host_next_free(scheduled)
 
-            # ---- visit + harvest -------------------------------------------
+            # ---- visit + harvest ----------------------------------------
             visits = phased.filter(
-                (F.col("fetch_rank") == 2)
-                & F.col("status").isNotNull()
-                & (F.col("status") >= 200)
-                & (F.col("status") < 300)
-                & F.col("redirect_to").isNull()
-            )
-            visits = visits.withColumn("text", extract_text_udf(F.col("html")))
+                (F.col("fetch_rank") == 2) & _ok() & F.col("redirect_to").isNull()
+            ).withColumn("text", extract_text_udf(F.col("html")))
 
-            visit_log = visit_log.unionByName(
-                visits.select(
-                    "url_norm", "host", F.lit(wave).alias("wave"), "seq", "state"
+            if opts.collect_logs:
+                visit_parts.append(
+                    visits.select(
+                        "url_norm", "host", F.lit(wave).alias("wave"), "seq", "state"
+                    ).localCheckpoint(eager=True)
                 )
-            )
 
             if ext.visit_fn is not None:
                 vudf = make_visit_udf(ext.visit_fn)
                 visits = visits.withColumn(
                     "_vh",
                     vudf(
-                        F.col("url_norm"),
-                        F.col("src_url_norm"),
-                        F.col("html"),
-                        F.col("text"),
+                        F.col("url_norm"), F.col("src_url_norm"),
+                        F.col("html"), F.col("text"),
                     ),
                 )
             else:
                 visits = visits.withColumn(
                     "_vh",
-                    F.lit(None).cast(
-                        "array<struct<url:string,state:string>>"
-                    ),
+                    F.lit(None).cast("array<struct<url:string,state:string>>"),
                 )
             visits = visits.withColumn(
                 "_harvest",
@@ -503,32 +546,37 @@ class CrawlEngine:
                 ),
             )
 
-            harvested = visits.select(
-                F.col("url_norm").alias("_src_norm"),
-                F.col("host").alias("_src_host"),
-                F.col("seq").alias("_src_seq"),
-                F.posexplode_outer(F.col("_harvest")).alias("pos", "h"),
-            ).filter(F.col("h").isNotNull()).select(
-                F.col("h.url").alias("url"),
-                F.col("_src_norm").alias("src_url_norm"),
-                F.col("_src_host").alias("src_host"),
-                F.col("h.state").alias("state"),
-                F.lit(None).cast("boolean").alias("head_before_get"),
-                F.lit(wave + 1).alias("ord_wave"),
-                F.col("_src_host").alias("ord_host"),
-                F.col("_src_seq").alias("ord_seq"),
-                F.col("pos").alias("ord_pos"),
+            harvested = (
+                visits.select(
+                    F.col("url_norm").alias("_src_norm"),
+                    F.col("host").alias("_src_host"),
+                    F.col("seq").alias("_src_seq"),
+                    F.posexplode_outer(F.col("_harvest")).alias("pos", "h"),
+                )
+                .filter(F.col("h").isNotNull())
+                .select(
+                    F.col("h.url").alias("url"),
+                    F.col("_src_norm").alias("src_url_norm"),
+                    F.col("_src_host").alias("src_host"),
+                    F.col("h.state").alias("state"),
+                    F.lit(None).cast("boolean").alias("head_before_get"),
+                    F.lit(wave + 1).alias("ord_wave"),
+                    F.col("_src_host").alias("ord_host"),
+                    F.col("_src_seq").alias("ord_seq"),
+                    F.col("pos").alias("ord_pos"),
+                )
             )
 
-            # redirect clones keep source/state/head flag
+            # redirect clones keep source/state/head flag; a redirected
+            # seed uses its own URL as the clone's source
             # (worker.go:229-248, urlcontext.go:65-98)
-            # a redirected seed uses its own URL as the clone's source
-            # (urlcontext.go:71-77)
             redirect_cands = phased.filter(
                 F.col("redirect_to").isNotNull() & (F.col("fetch_rank") == 2)
             ).select(
                 F.col("redirect_to").alias("url"),
-                F.coalesce(F.col("src_url_norm"), F.col("url_norm")).alias("src_url_norm"),
+                F.coalesce(F.col("src_url_norm"), F.col("url_norm")).alias(
+                    "src_url_norm"
+                ),
                 F.coalesce(F.col("src_host"), F.col("host")).alias("src_host"),
                 "state",
                 "head_before_get",
@@ -540,15 +588,23 @@ class CrawlEngine:
 
             next_candidates = harvested.unionByName(redirect_cands)
 
-            # ---- state updates ---------------------------------------------
-            seen = seen.unionByName(
-                admitted.select(
-                    "url_norm", "host", F.lit(wave).alias("wave_added")
-                ).dropDuplicates(["url_norm"])
-            ).dropDuplicates(["url_norm"])
+            # ---- state updates ------------------------------------------
+            # seen is append-only: the increment is this wave's first-time
+            # admissions (mark-at-stack-time, crawler.go:263-269)
+            seen_inc = self._ckpt(
+                admitted.filter(~F.col("is_visited"))
+                .select("url_norm", "host", F.lit(wave).alias("wave_added"))
+                .dropDuplicates(["url_norm"]),
+                "seen_inc",
+                wave,
+            )
+            seen_parts.append(seen_inc)
+            _t = _tick("seen_inc_ckpt", _t)
 
             active = active_hosts.withColumn("_active", F.lit(True))
-            last_seq_upd = page_rows.groupBy("host").agg(F.max("seq").alias("_new_seq"))
+            last_seq_upd = page_rows.groupBy("host").agg(
+                F.max("seq").alias("_new_seq")
+            )
             host_state = (
                 host_state.unionByName(
                     parsed.select(
@@ -558,14 +614,20 @@ class CrawlEngine:
                         F.lit(0).cast("bigint").alias("last_seq"),
                     )
                 )
-                .join(next_free.select("host", F.col("next_free_ms").alias("_nf2")), on="host", how="left")
+                .join(
+                    next_free.select("host", F.col("next_free_ms").alias("_nf2")),
+                    on="host",
+                    how="left",
+                )
                 .join(last_seq_upd, on="host", how="left")
                 .join(F.broadcast(active), on="host", how="left")
                 .select(
                     "host",
                     "rules_json",
                     "robots_delay_ms",
-                    F.coalesce(F.col("_nf2"), F.col("next_free_ms")).alias("next_free_ms"),
+                    F.coalesce(F.col("_nf2"), F.col("next_free_ms")).alias(
+                        "next_free_ms"
+                    ),
                     F.when(F.col("_active"), F.lit(wave))
                     .otherwise(F.col("last_active_wave"))
                     .alias("last_active_wave"),
@@ -579,9 +641,46 @@ class CrawlEngine:
                     F.col("last_active_wave") >= wave - opts.worker_idle_ttl_waves
                 )
 
+            # ---- checkpoint + advance -----------------------------------
+            host_state = self._ckpt(host_state, "host_state", wave)
+            _t = _tick("host_state_ckpt", _t)
+            candidates = self._ckpt(next_candidates, "candidates", wave)
+            _t = _tick("candidates_ckpt", _t)
+
+            # settle the wave counters with one combined agg over the
+            # now-cached gated/phased DataFrames (single cheap job)
+            stats = (
+                gated.agg(*gate_metrics)
+                .withColumn("_which", F.lit("gate"))
+                .unionByName(
+                    phased.agg(*fetch_metrics).withColumn("_which", F.lit("fetch")),
+                    allowMissingColumns=True,
+                )
+                .collect()
+            )
+            by_tag = {r["_which"]: r for r in stats}
+            g, fm = by_tag["gate"], by_tag["fetch"]
+            c.filter += g["n_filter"] or 0
+            n_admitted = g["n_admitted"] or 0
+            n_bypass = g["n_bypass"] or 0
+            n_disallowed = g["n_disallowed"] or 0
+            c.disallowed += n_disallowed
+            c.enqueued += n_admitted + n_bypass + n_new_hosts
+            n_fetch_rows = fm["n_fetch"] or 0
+            c.fetch += n_fetch_rows
+            c.compute_delay += n_fetch_rows
+            c.request_get += fm["n_request_get"] or 0
+            n_visits = fm["n_visits"] or 0
+            c.visit += n_visits
+            c.visited += n_visits
+            visits_total += n_visits
+            c.add_error("fetch", fm["n_fetch_err"] or 0)
+            n_filter_wave = g["n_filter"] or 0
+            _t = _tick("metrics_read", _t)
+
             summary = {
                 "wave": wave,
-                "candidates": int(agg["n_filter"] or 0),
+                "candidates": int(n_filter_wave),
                 "admitted": int(n_admitted),
                 "new_hosts": int(n_new_hosts),
                 "disallowed": int(n_disallowed),
@@ -594,6 +693,8 @@ class CrawlEngine:
             if ext.on_wave_end is not None:
                 ext.on_wave_end(self, summary)
 
+            # injected rows arrive after the candidates checkpoint; union
+            # the (small) increment lazily — the EnqueueChan analog
             if self._pending:
                 injected = self.spark.createDataFrame(
                     [
@@ -601,24 +702,24 @@ class CrawlEngine:
                         for i, (u, s) in enumerate(self._pending)
                     ],
                     schema=CANDIDATE_DDL,
-                )
-                next_candidates = next_candidates.unionByName(injected)
+                ).localCheckpoint(eager=True)
+                candidates = candidates.unionByName(injected)
                 self._pending = []
+            _t = _tick("wave_end_hooks", _t)
 
-            # ---- checkpoint + advance --------------------------------------
-            seen = self._ckpt(seen, "seen", wave)
-            host_state = self._ckpt(host_state, "host_state", wave)
-            candidates = self._ckpt(next_candidates, "candidates", wave)
-            visit_log = visit_log.localCheckpoint(eager=True)
-            fetch_log = fetch_log.localCheckpoint(eager=True)
-            errors = errors.localCheckpoint(eager=True)
             if self.opts.checkpoint_dir:
                 manifest = {
                     "wave": wave + 1,
                     "visits_total": visits_total,
-                    "counters": vars(c).copy(),
+                    "counters": {
+                        **{
+                            k: v
+                            for k, v in vars(c).items()
+                            if k != "errors_by_kind"
+                        },
+                        "errors_by_kind": dict(c.errors_by_kind),
+                    },
                 }
-                manifest["counters"]["errors_by_kind"] = dict(c.errors_by_kind)
                 with open(
                     os.path.join(self.opts.checkpoint_dir, "MANIFEST.json"), "w"
                 ) as fh:
@@ -626,9 +727,9 @@ class CrawlEngine:
 
             adm.unpersist()
             gated.unpersist()
-            fetched.unpersist()
             phased.unpersist()
-            scheduled.unpersist()
+            if opts.collect_logs:
+                scheduled.unpersist()
 
             wave += 1
             # reaching MaxVisits discards the limiting visit's harvest
@@ -646,10 +747,10 @@ class CrawlEngine:
             counters=c,
             err=err,
             waves=wave,
-            seen=seen,
-            visit_log=visit_log,
-            fetch_log=fetch_log,
-            errors=errors,
+            seen=reduce(DataFrame.unionByName, seen_parts),
+            visit_log=reduce(DataFrame.unionByName, visit_parts),
+            fetch_log=reduce(DataFrame.unionByName, fetch_parts),
+            errors=reduce(DataFrame.unionByName, error_parts),
             host_state=host_state,
             wave_metrics=wave_metrics,
             n_seeds=n_seeds,

@@ -5,15 +5,22 @@ Common-Crawl-style pages ``(url, warc_ts, html, text, lang)`` — the
 sandbox analog of the reference test suite's file-based fetcher
 (fileext_test.go:25-55): serve the row whose host+path matches (with a
 leading ``www.`` stripped from the REQUEST host, as the file fetcher
-does), 404 when the host is known but the path is not, and report a
-connection-level fetch error when the host is entirely unknown.
+does), and report a connection-level fetch error (null status) on a
+miss, exactly like the file fetcher's non-nil error.
 
-``pages`` may hold multiple ``warc_ts`` versions per URL; the source
-picks the latest (as-of semantics) via a per-key window.
+``pages`` may hold multiple ``warc_ts`` versions per URL; when
+``versioned=True`` the source picks the latest (as-of semantics) via a
+per-key window — computed ONCE at construction, not per wave.
+``persist=True`` caches the keyed table across waves (right for
+local/bench scale; on a real cluster leave False and rely on the
+Iceberg table's bucket(url) layout so the per-wave fetch join is
+storage-partitioned).
+
+robots.txt rows are split into a tiny dedicated table at construction
+so per-wave robots fetches never rescan the big pages table.
 
 Optionally a ``redirects(url, status, location)`` side table models
-HTTP redirects (reference: worker.go:229-248): matching request URLs
-get the redirect status + Location instead of a body.
+HTTP redirects (reference: worker.go:229-248).
 """
 
 from __future__ import annotations
@@ -22,55 +29,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_fetch_key(df: DataFrame, url_col: str) -> DataFrame:
+    host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    return df.withColumn(
+        "fetch_host",
+        F.when(host.startswith("www."), F.substring(host, 5, 2**30)).otherwise(host),
+    ).withColumn("fetch_path", path)
+
+
 class PagesSource:
-    """Wraps the pages DataFrame with fetch-key columns precomputed.
-
-    The fetch key is ``(host_nowww, path)`` — scheme-insensitive and
-    www-insensitive, like the reference's file fetcher.
-    """
-
-    def __init__(self, pages: DataFrame, redirects: DataFrame | None = None):
-        host = F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
-        path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit(""))
-        keyed = pages.withColumn("_host", host).withColumn("_path", path)
-        keyed = keyed.withColumn(
-            "fetch_host",
-            F.when(F.col("_host").startswith("www."), F.expr("substring(_host, 5)")).otherwise(
-                F.col("_host")
-            ),
-        ).withColumn("fetch_path", F.col("_path"))
-        # as-of: latest warc_ts version per fetch key
-        w = Window.partitionBy("fetch_host", "fetch_path").orderBy(F.col("warc_ts").desc())
-        keyed = (
-            keyed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_host", "_path")
-        )
-        self.pages = keyed
+    def __init__(
+        self,
+        pages: DataFrame,
+        redirects: DataFrame | None = None,
+        versioned: bool = True,
+        persist: bool = False,
+        buckets: int | None = None,
+    ):
+        keyed = _with_fetch_key(pages, "url")
+        if versioned:
+            w = Window.partitionBy("fetch_host", "fetch_path").orderBy(
+                F.col("warc_ts").desc()
+            )
+            keyed = (
+                keyed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        slim = keyed.select("fetch_host", "fetch_path", "html", "text")
+        if persist:
+            # hash-partition on the fetch key BEFORE persisting: the
+            # cached table then advertises HashPartitioning(fetch key),
+            # so every wave's fetch join shuffles only the (small)
+            # candidate side — the local analog of an Iceberg table
+            # bucketed on the fetch key (storage-partitioned join)
+            n = buckets or slim.sparkSession.sparkContext.defaultParallelism
+            slim = slim.repartition(n, "fetch_host", "fetch_path").persist()
+        self.pages = slim
+        # tiny dedicated robots table: one fetch join per wave against
+        # this instead of the full pages scan
+        self.robots_pages = slim.filter(
+            F.lower(F.col("fetch_path")) == "/robots.txt"
+        ).persist()
         self.redirects = redirects
 
-    def fetch(self, batch: DataFrame, url_col: str = "url_norm") -> DataFrame:
-        """Join a fetch batch against the pages table.
-
-        Adds: status (200 / redirect status / null = miss → like the
-        reference's file fetcher, a miss is a connection-level fetch
-        error, fileext_test.go:42-47), html, page_text, redirect_to.
-        The batch side keeps all its columns.  Pages side is the big
-        table: equi join on (fetch_host, fetch_path).
-        """
-        req_host = F.lower(
-            F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))
-        )
-        req_path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
-        b = batch.withColumn(
-            "fetch_host",
-            F.when(req_host.startswith("www."), F.substring(req_host, 5, 2**30)).otherwise(
-                req_host
-            ),
-        ).withColumn("fetch_path", req_path)
-
+    def _join(self, batch: DataFrame, url_col: str, pages: DataFrame) -> DataFrame:
+        b = _with_fetch_key(batch, url_col)
         joined = b.join(
-            self.pages.select(
+            pages.select(
                 "fetch_host",
                 "fetch_path",
                 F.col("html").alias("_page_html"),
@@ -90,9 +97,9 @@ class PagesSource:
                 F.broadcast(rd), joined[url_col] == F.col("_rd_url"), "left"
             )
         else:
-            joined = joined.withColumn("_rd_status", F.lit(None).cast("int")).withColumn(
-                "_rd_location", F.lit(None).cast("string")
-            )
+            joined = joined.withColumn(
+                "_rd_status", F.lit(None).cast("int")
+            ).withColumn("_rd_location", F.lit(None).cast("string"))
 
         return (
             joined.withColumn(
@@ -101,13 +108,9 @@ class PagesSource:
                 .when(F.col("_page_html").isNotNull(), F.lit(200))
                 .otherwise(F.lit(None).cast("int")),
             )
+            .withColumn("html", F.when(F.col("status") == 200, F.col("_page_html")))
             .withColumn(
-                "html",
-                F.when(F.col("status") == 200, F.col("_page_html")),
-            )
-            .withColumn(
-                "page_text",
-                F.when(F.col("status") == 200, F.col("_page_text")),
+                "page_text", F.when(F.col("status") == 200, F.col("_page_text"))
             )
             .withColumn("redirect_to", F.col("_rd_location"))
             .drop(
@@ -116,3 +119,12 @@ class PagesSource:
                 "fetch_host", "fetch_path",
             )
         )
+
+    def fetch(self, batch: DataFrame, url_col: str = "url_norm") -> DataFrame:
+        """Fetch page rows: left join on (host-no-www, path); adds
+        status / html / page_text / redirect_to."""
+        return self._join(batch, url_col, self.pages)
+
+    def fetch_robots(self, batch: DataFrame, url_col: str = "url_norm") -> DataFrame:
+        """Fetch robots.txt rows against the tiny robots subtable."""
+        return self._join(batch, url_col, self.robots_pages)

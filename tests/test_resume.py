@@ -1,0 +1,55 @@
+"""Mid-frontier checkpoint/resume: kill between waves, resume, final
+state identical to an uninterrupted run (north-rule resumability)."""
+
+from pyspark.sql import functions as F
+
+from crawlspark.config import Options
+from crawlspark.plans.engine import CrawlEngine
+
+
+def _seen_set(res):
+    return {r[0] for r in res.seen.select("url_norm").collect()}
+
+
+def test_resume_matches_uninterrupted(spark, fixture_pages, tmp_path):
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+
+    full = CrawlEngine(
+        spark, fixture_pages, Options(crawl_delay_ms=100)
+    ).run(seeds)
+
+    ckdir = str(tmp_path / "ck")
+    # interrupted run: stop after 1 wave (simulated kill between waves)
+    part = CrawlEngine(
+        spark, fixture_pages,
+        Options(crawl_delay_ms=100, checkpoint_dir=ckdir, max_waves=1),
+    ).run(seeds)
+    assert part.waves == 1
+    assert part.counters.visit < full.counters.visit
+
+    resumed = CrawlEngine(
+        spark, fixture_pages, Options(crawl_delay_ms=100, checkpoint_dir=ckdir)
+    ).resume(seeds)
+
+    assert resumed.counters.visit == full.counters.visit == 5
+    assert resumed.counters.filter == full.counters.filter == 13
+    assert resumed.counters.enqueued == full.counters.enqueued
+    assert _seen_set(resumed) == _seen_set(full)
+    # per-host visit order identical
+    order_full = [
+        r[0]
+        for r in full.visit_log.filter(F.col("host") == "hosta")
+        .orderBy("seq")
+        .select("url_norm")
+        .collect()
+    ]
+    order_res = [
+        r[0]
+        for r in resumed.visit_log.filter(F.col("host") == "hosta")
+        .orderBy("seq")
+        .select("url_norm")
+        .collect()
+    ]
+    # the resumed run's visit_log only covers post-resume waves; compare
+    # the tail of the full order
+    assert order_res == order_full[-len(order_res):]

@@ -1,0 +1,60 @@
+"""Bloom seen-filter sidecar: no false negatives, bounded false
+positives, shard merge correctness."""
+
+from pyspark.sql import functions as F
+
+from crawlspark.operators.seen import (
+    apply_bloom,
+    bloom_params,
+    build_bloom,
+    collect_shards,
+    merge_blooms,
+)
+
+
+def test_bloom_params_sane():
+    m, k = bloom_params(1000, 0.01)
+    assert m > 9000 and m % 8 == 0
+    assert 5 <= k <= 9
+
+
+def test_no_false_negatives_and_low_fpp(spark):
+    n = 2000
+    seen = spark.range(n).select(
+        F.concat(F.lit("http://h/p"), F.col("id")).alias("url_norm")
+    )
+    bloom = build_bloom(seen, num_partitions=8, expected_per_partition=1000, fpp=0.01)
+    shards = collect_shards(bloom)
+    assert 0 < len(shards) <= 8
+
+    # candidates: half seen, half unseen
+    cands = spark.range(n * 2).select(
+        F.concat(F.lit("http://h/p"), F.col("id")).alias("url_norm")
+    )
+    out = apply_bloom(
+        cands, shards, num_partitions=8, expected_per_partition=1000, fpp=0.01
+    )
+    rows = {r["url_norm"]: r["maybe_seen"] for r in out.collect()}
+    # every seen URL must test maybe_seen (no false negatives)
+    for i in range(n):
+        assert rows[f"http://h/p{i}"], f"false negative at {i}"
+    # unseen URLs: false-positive rate bounded (generous 5x margin)
+    fps = sum(1 for i in range(n, 2 * n) if rows[f"http://h/p{i}"])
+    assert fps / n < 0.05, f"fpp too high: {fps / n}"
+
+
+def test_merge_blooms(spark):
+    a = spark.createDataFrame([("http://h/a",)], "url_norm string")
+    b = spark.createDataFrame([("http://h/b",)], "url_norm string")
+    kw = dict(num_partitions=2, expected_per_partition=100, fpp=0.01)
+    merged = merge_blooms(build_bloom(a, **kw).unionByName(build_bloom(b, **kw)))
+    shards = collect_shards(merged)
+    cands = spark.createDataFrame(
+        [("http://h/a",), ("http://h/b",), ("http://h/zzz",)], "url_norm string"
+    )
+    rows = {
+        r["url_norm"]: r["maybe_seen"]
+        for r in apply_bloom(cands, shards, **kw).collect()
+    }
+    assert rows["http://h/a"] and rows["http://h/b"]
+    assert not rows["http://h/zzz"]
