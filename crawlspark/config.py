@@ -129,6 +129,8 @@ class Options:
     shuffle_partitions: int = 32
     hot_host_salt_buckets: int = 8  # sub-keys for skewed hosts (SURVEY §4 P11)
     hot_host_threshold: int = 10000  # pending URLs/host before salting kicks in
+    use_bloom_seen: bool = False  # Bloom pre-filter before the seen join
+    bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000
     bloom_fpp: float = 0.01
     checkpoint_dir: str | None = None  # None → in-memory localCheckpoint

@@ -51,6 +51,7 @@ def admit_candidates(
     seed_hosts: DataFrame,  # (seed_host)
     opts: Options,
     filter_factory=None,
+    bloom_shards: list | None = None,
 ) -> DataFrame:
     """Annotate candidates with canonical columns + admission verdicts.
 
@@ -72,13 +73,34 @@ def admit_candidates(
     # visited probe: exact membership vs the seen table (crawler.go:209).
     # Left join (not anti) because the Filter hook *receives* the flag
     # and may still admit visited rows (complex_test.go:203-236).
-    df = df.join(
-        seen.select(F.col("url_norm").alias("_seen_url")).withColumn(
-            "_seen", F.lit(True)
-        ),
-        df["url_norm"] == F.col("_seen_url"),
-        "left",
-    ).drop("_seen_url")
+    # With the Bloom sidecar, candidates testing definitely-unseen skip
+    # the big join entirely (no false negatives ⇒ exact result); only
+    # "maybe seen" rows (true dups + fpp) hit the table (SURVEY §4 P1).
+    seen_side = seen.select(F.col("url_norm").alias("_seen_url")).withColumn(
+        "_seen", F.lit(True)
+    )
+    if bloom_shards is not None:
+        from crawlspark.operators.seen import apply_bloom
+
+        df = apply_bloom(
+            df,
+            bloom_shards,
+            url_col="url_norm",
+            num_partitions=opts.bloom_partitions,
+            expected_per_partition=opts.bloom_expected_per_partition,
+            fpp=opts.bloom_fpp,
+        )
+        maybe = df.filter(F.col("maybe_seen")).join(
+            seen_side, F.col("url_norm") == F.col("_seen_url"), "left"
+        ).drop("_seen_url")
+        nope = df.filter(~F.col("maybe_seen")).withColumn(
+            "_seen", F.lit(None).cast("boolean")
+        )
+        df = maybe.unionByName(nope).drop("maybe_seen")
+    else:
+        df = df.join(
+            seen_side, df["url_norm"] == F.col("_seen_url"), "left"
+        ).drop("_seen_url")
     seen_flag = F.coalesce(F.col("_seen"), F.lit(False))
 
     # policy predicates (crawler.go:220-229) — pure column expressions

@@ -244,6 +244,11 @@ class CrawlEngine:
                 elif hasattr(c, key):
                     setattr(c, key, val)
 
+        # Bloom sidecar shards: driver-held {pid: bitmap ndarray}, OR-merged
+        # per wave from the seen increment (MB-scale; on a cluster these
+        # live as Iceberg binary rows, see operators/seen.py)
+        bloom: dict[int, "object"] | None = {} if opts.use_bloom_seen else None
+
         cached_df = None
         if ext.request_robots:
             cached_df = self.spark.createDataFrame(
@@ -261,8 +266,14 @@ class CrawlEngine:
             seen = reduce(DataFrame.unionByName, seen_parts)
 
             # ---- admission ---------------------------------------------
+            shards = (
+                [(pid, arr.tobytes()) for pid, arr in bloom.items()]
+                if bloom is not None
+                else None
+            )
             adm = admit_candidates(
-                candidates, seen, seed_hosts, opts, ext.filter_factory
+                candidates, seen, seed_hosts, opts, ext.filter_factory,
+                bloom_shards=shards,
             ).persist()
             admitted = adm.filter(F.col("admitted"))
 
@@ -599,6 +610,27 @@ class CrawlEngine:
                 wave,
             )
             seen_parts.append(seen_inc)
+            if bloom is not None:
+                import numpy as np
+
+                from crawlspark.operators.seen import build_bloom, collect_shards
+
+                inc_shards = collect_shards(
+                    build_bloom(
+                        seen_inc,
+                        num_partitions=opts.bloom_partitions,
+                        expected_per_partition=opts.bloom_expected_per_partition,
+                        fpp=opts.bloom_fpp,
+                    )
+                )
+                for pid, b in inc_shards:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if pid in bloom:
+                        merged = bloom[pid].copy()
+                        merged[: arr.size] |= arr[: merged.size]
+                        bloom[pid] = merged
+                    else:
+                        bloom[pid] = arr.copy()
             _t = _tick("seen_inc_ckpt", _t)
 
             active = active_hosts.withColumn("_active", F.lit(True))

@@ -58,3 +58,30 @@ def test_merge_blooms(spark):
     }
     assert rows["http://h/a"] and rows["http://h/b"]
     assert not rows["http://h/zzz"]
+
+
+def test_engine_with_bloom_matches_exact(spark, fixture_pages):
+    """Crawl with the Bloom pre-filter enabled: identical counters,
+    seen set, and visit order vs the exact-join path."""
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    base = CrawlEngine(spark, fixture_pages, Options(crawl_delay_ms=100)).run(seeds)
+    bloomed = CrawlEngine(
+        spark,
+        fixture_pages,
+        Options(
+            crawl_delay_ms=100,
+            use_bloom_seen=True,
+            bloom_partitions=4,
+            bloom_expected_per_partition=1000,
+            bloom_fpp=0.01,
+        ),
+    ).run(seeds)
+    assert bloomed.counters.visit == base.counters.visit == 5
+    assert bloomed.counters.filter == base.counters.filter == 13
+    assert bloomed.counters.enqueued == base.counters.enqueued
+    s1 = {r[0] for r in base.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in bloomed.seen.select("url_norm").collect()}
+    assert s1 == s2
