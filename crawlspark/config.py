@@ -127,8 +127,12 @@ class Options:
     )
     # engine knobs (no reference analog — Spark-scale machinery)
     shuffle_partitions: int = 32
-    hot_host_salt_buckets: int = 8  # sub-keys for skewed hosts (SURVEY §4 P11)
-    hot_host_threshold: int = 10000  # pending URLs/host before salting kicks in
+    # politeness budget / hot-host backpressure (SURVEY §4 P11, §2.10):
+    # at most this many URLs fetched per host per wave (0 = unlimited);
+    # the overflow defers to the next wave without re-admission — the
+    # batch analog of "a host can only fetch wave_duration/crawl_delay
+    # URLs anyway", and the skew bound on the per-host serial dimension
+    max_urls_per_host_per_wave: int = 0
     use_bloom_seen: bool = False  # Bloom pre-filter before the seen join
     bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000

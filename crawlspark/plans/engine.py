@@ -73,6 +73,20 @@ FETCH_LOG_DDL = (
 )
 ERRORS_DDL = "url string, kind string, wave int"
 
+# rows deferred by the per-host politeness budget: post-admission,
+# post-robots-gate page rows waiting for a later wave
+DEFER_COLS = [
+    "url", "url_norm", "host", "path", "src_url_norm", "src_host",
+    "state", "head_before_get", "ord_wave", "ord_host", "ord_seq",
+    "ord_pos", "robots_delay_ms",
+]
+DEFER_DDL = (
+    "url string, url_norm string, host string, path string, "
+    "src_url_norm string, src_host string, state string, "
+    "head_before_get boolean, ord_wave int, ord_host string, "
+    "ord_seq bigint, ord_pos int, robots_delay_ms int"
+)
+
 _TIMING = os.environ.get("CRAWLSPARK_TIMING", "") == "1"
 
 
@@ -222,6 +236,7 @@ class CrawlEngine:
         n_seeds = candidates.count()
         n_seed_hosts = seed_hosts.count()
 
+        deferred = self._empty(DEFER_DDL)
         seen_parts: list[DataFrame] = [self._empty(SEEN_DDL)]
         visit_parts: list[DataFrame] = [self._empty(VISIT_LOG_DDL)]
         fetch_parts: list[DataFrame] = [self._empty(FETCH_LOG_DDL)]
@@ -260,7 +275,7 @@ class CrawlEngine:
 
         while wave < opts.max_waves:
             _t = _time.perf_counter()
-            if candidates.isEmpty():
+            if candidates.isEmpty() and deferred.isEmpty():
                 break
             _t = _tick("isEmpty", _t)
             seen = reduce(DataFrame.unionByName, seen_parts)
@@ -382,7 +397,8 @@ class CrawlEngine:
 
             # ---- per-host sequencing ------------------------------------
             hs = host_state.select("host", "next_free_ms", "last_seq")
-            page_rows = allowed.join(hs, on="host", how="left")
+            page_base = allowed.select(*DEFER_COLS).unionByName(deferred)
+            page_rows = page_base.join(hs, on="host", how="left")
             head_override = (
                 ext.head_factory(page_rows)
                 if ext.head_factory is not None
@@ -397,10 +413,24 @@ class CrawlEngine:
                 ),
             )
             w_host = Window.partitionBy("host").orderBy(*[F.col(x) for x in ORD_COLS])
+            page_rows = page_rows.withColumn("_rn_host", F.row_number().over(w_host))
             page_rows = page_rows.withColumn(
-                "seq",
-                F.coalesce(F.col("last_seq"), F.lit(0)) + F.row_number().over(w_host),
+                "seq", F.coalesce(F.col("last_seq"), F.lit(0)) + F.col("_rn_host")
             )
+
+            # politeness budget / hot-host backpressure: cap each host's
+            # wave batch; overflow defers to the next wave WITHOUT
+            # re-admission (already counted, already in seen)
+            if opts.max_urls_per_host_per_wave > 0:
+                cap = opts.max_urls_per_host_per_wave
+                deferred_new = page_rows.filter(F.col("_rn_host") > cap).select(
+                    *DEFER_COLS
+                )
+                deferred = self._ckpt(deferred_new, "deferred", wave)
+                page_rows = page_rows.filter(F.col("_rn_host") <= cap)
+            else:
+                deferred = self._empty(DEFER_DDL)
+            page_rows = page_rows.drop("_rn_host")
 
             # ---- fetch join ---------------------------------------------
             fetched = self.pages.fetch(page_rows, url_col="url")

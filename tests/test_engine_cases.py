@@ -472,3 +472,64 @@ class TestRedirects:
         assert len(rows) == 1
         assert rows[0]["url_norm"] == "http://rhost/p3/"
         assert rows[0]["state"] == "S1"  # State preserved via clones
+
+
+class TestPolitenessBudget:
+    def test_per_host_wave_cap_defers_without_recount(self, spark, fixture_pages):
+        """max_urls_per_host_per_wave=1: same final crawl (visits, order,
+        Filter count) as uncapped, but no host fetches more than one URL
+        per wave — the hot-host backpressure bound (SURVEY §4 P11)."""
+        base = crawl(spark, fixture_pages, ["http://hosta/page1.html"])
+        capped = crawl(
+            spark, fixture_pages, ["http://hosta/page1.html"],
+            Options(crawl_delay_ms=DELAY, max_urls_per_host_per_wave=1),
+        )
+        assert capped.counters.visit == base.counters.visit == 3
+        assert capped.counters.filter == base.counters.filter == 10
+        assert capped.waves > base.waves  # budget stretches the crawl
+        # per-host visit order unchanged
+        order = [
+            r[0]
+            for r in capped.visit_log.orderBy("seq").select("url_norm").collect()
+        ]
+        assert order == [
+            "http://hosta/page1.html",
+            "http://hosta/page2.html",
+            "http://hosta/page3.html",
+        ]
+        # the bound holds: ≤1 page fetch per host per wave
+        per_wave = (
+            capped.fetch_log.filter(F.col("fetch_rank") == 2)
+            .groupBy("host", "wave")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert per_wave == 1
+
+
+class TestCrawlDelayGrowth:
+    def test_growing_delay_with_head(self, spark, fixture_pages):
+        """CrawlDelay growth (complex_test.go:44-78): custom ComputeDelay,
+        HeadBeforeGet: Fetch=7 (robots + 3×HEAD+GET), ComputeDelay=7,
+        per-host schedule strictly increasing with growing gaps."""
+        ext = Extender(
+            compute_delay=lambda df: F.col("seq_in_wave") * 100
+        )
+        res = crawl(
+            spark, fixture_pages, ["http://hosta/page1.html"],
+            Options(crawl_delay_ms=DELAY, head_before_get=True),
+            ext,
+        )
+        assert res.counters.fetch == 7
+        assert res.counters.compute_delay == 7
+        assert res.counters.visit == 3
+        scheds = [
+            r[0]
+            for r in res.fetch_log.filter(F.col("host") == "hosta")
+            .orderBy("wave", "sched_ms")
+            .select("sched_ms")
+            .collect()
+        ]
+        assert scheds == sorted(scheds)
+        assert len(set(scheds)) == len(scheds) or scheds[0] == 0
