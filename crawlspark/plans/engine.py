@@ -740,6 +740,48 @@ class CrawlEngine:
             n_filter_wave = g["n_filter"] or 0
             _t = _tick("metrics_read", _t)
 
+            # per-partition lineage metrics (FIXTURES.md §2 metrics table):
+            # committed with every wave in checkpoint mode so a resumed
+            # crawl can audit exactly which partition produced what
+            if self.opts.checkpoint_dir:
+                lineage = (
+                    gated.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(
+                        F.count(F.lit(1)).alias("count"),
+                        F.sum(F.col("admitted").cast("long")).alias("admitted"),
+                    )
+                    .select(
+                        F.lit(wave).alias("wave"),
+                        F.lit("admission").alias("stage"),
+                        "partition_id",
+                        "count",
+                        F.col("admitted").alias("passed"),
+                    )
+                    .unionByName(
+                        phased.groupBy(
+                            F.spark_partition_id().alias("partition_id")
+                        )
+                        .agg(
+                            F.count(F.lit(1)).alias("count"),
+                            F.sum(
+                                ((F.col("fetch_rank") == 2) & _ok()).cast("long")
+                            ).alias("passed"),
+                        )
+                        .select(
+                            F.lit(wave).alias("wave"),
+                            F.lit("fetch").alias("stage"),
+                            "partition_id",
+                            "count",
+                            "passed",
+                        )
+                    )
+                )
+                lineage.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.opts.checkpoint_dir, f"wave={wave}", "metrics"
+                    )
+                )
+
             summary = {
                 "wave": wave,
                 "candidates": int(n_filter_wave),

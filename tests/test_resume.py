@@ -53,3 +53,28 @@ def test_resume_matches_uninterrupted(spark, fixture_pages, tmp_path):
     # the resumed run's visit_log only covers post-resume waves; compare
     # the tail of the full order
     assert order_res == order_full[-len(order_res):]
+
+
+def test_per_partition_lineage_metrics(spark, fixture_pages, tmp_path):
+    """Checkpoint mode commits a per-partition metrics table every wave
+    (wave, stage, partition_id, count, passed)."""
+    import os
+
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    ckdir = str(tmp_path / "ckm")
+    CrawlEngine(
+        spark, fixture_pages, Options(crawl_delay_ms=100, checkpoint_dir=ckdir)
+    ).run(["http://hosta/page1.html"])
+    waves = sorted(d for d in os.listdir(ckdir) if d.startswith("wave="))
+    assert len(waves) >= 2
+    m = spark.read.parquet(*[os.path.join(ckdir, w, "metrics") for w in waves])
+    assert set(m.columns) == {"wave", "stage", "partition_id", "count", "passed"}
+    rows = m.collect()
+    assert {r["stage"] for r in rows} == {"admission", "fetch"}
+    # totals reconcile with the crawl: fetch passed == visits per wave
+    total_visits = sum(
+        r["passed"] for r in rows if r["stage"] == "fetch"
+    )
+    assert total_visits == 3
