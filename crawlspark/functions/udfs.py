@@ -104,6 +104,39 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: _extract.extract_text(bytes(h)) if h is not None else None)
 
 
+PAGE_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+@F.pandas_udf(PAGE_SCHEMA)
+def extract_page_udf(html: pd.Series, page_url: pd.Series) -> pd.DataFrame:
+    """Fused text + link extraction: ONE HTML parse per page yields both
+    the pinned-spec text and the resolved outlinks (the engine's hot
+    path — parsing twice would double the dominant CPU cost)."""
+    texts, links = [], []
+    for h, u in zip(html, page_url):
+        if h is None:
+            texts.append(None)
+            links.append([])
+            continue
+        p = _extract.parse_page(bytes(h))
+        texts.append("\n".join(p.text_chunks))
+        if u is None:
+            links.append([])
+        else:
+            out = []
+            for href in p.hrefs:
+                r = _extract.resolve_link(u, href, p.base_href)
+                if r is not None:
+                    out.append(r)
+            links.append(out)
+    return pd.DataFrame({"text": texts, "links": links})
+
+
 @lru_cache(maxsize=4096)
 def _parsed_rules(rules_json: str):
     rows = json.loads(rules_json)

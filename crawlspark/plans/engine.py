@@ -44,8 +44,7 @@ from pyspark.sql import functions as F
 
 from crawlspark.config import Options
 from crawlspark.functions.udfs import (
-    extract_links_udf,
-    extract_text_udf,
+    extract_page_udf,
     make_canonicalize_udf,
     make_robots_parse_udf,
     make_visit_udf,
@@ -549,9 +548,11 @@ class CrawlEngine:
             next_free = host_next_free(scheduled)
 
             # ---- visit + harvest ----------------------------------------
+            # fused text+links extraction: one HTML parse per visit
             visits = phased.filter(
                 (F.col("fetch_rank") == 2) & _ok() & F.col("redirect_to").isNull()
-            ).withColumn("text", extract_text_udf(F.col("html")))
+            ).withColumn("_page", extract_page_udf(F.col("html"), F.col("url")))
+            visits = visits.withColumn("text", F.col("_page.text"))
 
             if opts.collect_logs:
                 visit_parts.append(
@@ -579,7 +580,7 @@ class CrawlEngine:
                 F.coalesce(
                     F.col("_vh"),
                     F.transform(
-                        extract_links_udf(F.col("html"), F.col("url")),
+                        F.col("_page.links"),
                         lambda u: F.struct(
                             u.alias("url"), F.lit(None).cast("string").alias("state")
                         ),
