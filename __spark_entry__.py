@@ -402,9 +402,9 @@ ded AS (
   FROM raw
 )
 SELECT url_norm, host,
-       ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts, event_id) AS seq,
-       COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sched_ms
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts, event_id) AS INTEGER) AS seq,
+       CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sched_ms
 FROM ded WHERE rn = 1
 """,
         "seen_anti_join": """
@@ -417,9 +417,9 @@ FROM lineitem GROUP BY l_orderkey, l_partkey
 """,
         "politeness_schedule": """
 SELECT event_id, user_id,
-       COALESCE(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+       CAST(COALESCE(SUM(CAST(round(value*100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sched_ms
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sched_ms
 FROM events
 """,
         "harvest_explode": """
@@ -429,8 +429,8 @@ SELECT token, COUNT(*) AS n FROM (
 """,
         "group_agg_pricing": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_e2,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_e2,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_e2,
        COUNT(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -532,8 +532,8 @@ WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
 qx AS (SELECT unnest(e) AS v, generate_subscripts(e,1) AS p FROM q),
 ex AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS p FROM embeddings)
 SELECT ex.vec_id,
-       SUM(CAST(round(CAST(ex.v AS DOUBLE)*1000) AS BIGINT)
-         * CAST(round(CAST(qx.v AS DOUBLE)*1000) AS BIGINT)) AS dot_q
+       CAST(SUM(CAST(round(CAST(ex.v AS DOUBLE)*1000) AS BIGINT)
+         * CAST(round(CAST(qx.v AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS dot_q
 FROM ex JOIN qx ON ex.p = qx.p
 GROUP BY ex.vec_id
 ORDER BY dot_q DESC, vec_id LIMIT 20
