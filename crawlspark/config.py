@@ -141,3 +141,6 @@ class Options:
     max_waves: int = 1000  # safety stop for the fixpoint loop
     collect_logs: bool = True  # False: skip visit/fetch/error logs
     # (counters stay exact) — the throughput configuration
+    parallel_checkpoints: bool = False  # overlap end-of-wave state
+    # commits via concurrent driver threads (Spark job-level parallelism;
+    # per-partition cache locks prevent duplicate compute)

@@ -633,36 +633,11 @@ class CrawlEngine:
             # ---- state updates ------------------------------------------
             # seen is append-only: the increment is this wave's first-time
             # admissions (mark-at-stack-time, crawler.go:263-269)
-            seen_inc = self._ckpt(
+            seen_inc_df = (
                 admitted.filter(~F.col("is_visited"))
                 .select("url_norm", "host", F.lit(wave).alias("wave_added"))
-                .dropDuplicates(["url_norm"]),
-                "seen_inc",
-                wave,
+                .dropDuplicates(["url_norm"])
             )
-            seen_parts.append(seen_inc)
-            if bloom is not None:
-                import numpy as np
-
-                from crawlspark.operators.seen import build_bloom, collect_shards
-
-                inc_shards = collect_shards(
-                    build_bloom(
-                        seen_inc,
-                        num_partitions=opts.bloom_partitions,
-                        expected_per_partition=opts.bloom_expected_per_partition,
-                        fpp=opts.bloom_fpp,
-                    )
-                )
-                for pid, b in inc_shards:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    if pid in bloom:
-                        merged = bloom[pid].copy()
-                        merged[: arr.size] |= arr[: merged.size]
-                        bloom[pid] = merged
-                    else:
-                        bloom[pid] = arr.copy()
-            _t = _tick("seen_inc_ckpt", _t)
 
             active = active_hosts.withColumn("_active", F.lit(True))
             last_seq_upd = page_rows.groupBy("host").agg(
@@ -705,10 +680,45 @@ class CrawlEngine:
                 )
 
             # ---- checkpoint + advance -----------------------------------
-            host_state = self._ckpt(host_state, "host_state", wave)
-            _t = _tick("host_state_ckpt", _t)
-            candidates = self._ckpt(next_candidates, "candidates", wave)
-            _t = _tick("candidates_ckpt", _t)
+            if opts.parallel_checkpoints:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(3) as pool:
+                    f_seen = pool.submit(self._ckpt, seen_inc_df, "seen_inc", wave)
+                    f_host = pool.submit(self._ckpt, host_state, "host_state", wave)
+                    f_cand = pool.submit(
+                        self._ckpt, next_candidates, "candidates", wave
+                    )
+                    seen_inc = f_seen.result()
+                    host_state = f_host.result()
+                    candidates = f_cand.result()
+            else:
+                seen_inc = self._ckpt(seen_inc_df, "seen_inc", wave)
+                host_state = self._ckpt(host_state, "host_state", wave)
+                candidates = self._ckpt(next_candidates, "candidates", wave)
+            seen_parts.append(seen_inc)
+            if bloom is not None:
+                import numpy as np
+
+                from crawlspark.operators.seen import build_bloom, collect_shards
+
+                inc_shards = collect_shards(
+                    build_bloom(
+                        seen_inc,
+                        num_partitions=opts.bloom_partitions,
+                        expected_per_partition=opts.bloom_expected_per_partition,
+                        fpp=opts.bloom_fpp,
+                    )
+                )
+                for pid, b in inc_shards:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if pid in bloom:
+                        merged = bloom[pid].copy()
+                        merged[: arr.size] |= arr[: merged.size]
+                        bloom[pid] = merged
+                    else:
+                        bloom[pid] = arr.copy()
+            _t = _tick("state_ckpts", _t)
 
             # settle the wave counters with one combined agg over the
             # now-cached gated/phased DataFrames (single cheap job)

@@ -533,3 +533,13 @@ class TestCrawlDelayGrowth:
         ]
         assert scheds == sorted(scheds)
         assert len(set(scheds)) == len(scheds) or scheds[0] == 0
+
+
+def test_parallel_checkpoints_same_result(spark, fixture_pages):
+    """Concurrent end-of-wave state commits preserve exact results."""
+    res = crawl(
+        spark, fixture_pages, ["http://hosta/page1.html"],
+        Options(crawl_delay_ms=DELAY, parallel_checkpoints=True),
+    )
+    assert res.counters.visit == 3
+    assert res.counters.filter == 10
