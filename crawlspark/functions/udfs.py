@@ -38,6 +38,101 @@ CANON_SCHEMA = StructType(
 )
 
 
+# Fast-path eligibility for ALL_GREEDY normalization: a clean absolute
+# http URL whose normalization is the identity apart from stripping one
+# trailing slash.  Lowercase multi-label host with no port / userinfo /
+# leading "www." / leading "0" (rules out octal/hex/dword decoding and
+# www-stripping); path segments with no escapes, dots-first segments,
+# duplicate slashes, query, or fragment.  Everything else takes the
+# per-row oracle path (normalize_url).  At web scale the overwhelming
+# majority of harvested hrefs resolve to URLs of this shape, and the
+# per-row Python cost (~44 us) was the single largest CPU item in the
+# admission stage, so the vectorized path is worth the two regexes.
+_FAST_URL_RX = (
+    r"http://"
+    r"(?![w0-9]*www\.)(?!0)"  # no www. prefix, no leading 0 (numeric hosts)
+    r"[a-z0-9]([a-z0-9-]*[a-z0-9])?(\.(?!www\.)[a-z0-9]([a-z0-9-]*[a-z0-9])?)+"
+    r"(/(?!\.)[A-Za-z0-9_.~!$&'()*+,;=:@-]+)*/?"
+)
+_DIR_INDEX_RX = r"(?i)(?:^|/)(?:index|default)\.\w{1,4}/?$"
+
+
+def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
+    """Vectorized kernel behind the canonicalize UDF (testable sans Spark).
+
+    Returns columns (url_norm, host, path, is_robots, is_abs_http) for a
+    Series of raw URLs; byte-identical to the per-row ``normalize_url``
+    oracle (property-tested in tests/test_urlnorm.py).
+    """
+    n = len(url)
+    out = pd.DataFrame(
+        {
+            "url_norm": pd.Series([None] * n, dtype="object"),
+            "host": pd.Series([None] * n, dtype="object"),
+            "path": pd.Series([None] * n, dtype="object"),
+            "is_robots": pd.Series([False] * n, dtype="bool"),
+            "is_abs_http": pd.Series([False] * n, dtype="bool"),
+        }
+    )
+    url = url.reset_index(drop=True)
+    notnull = url.notna()
+    if flags == NF.all_greedy() and bool(notnull.any()):
+        u = url.where(notnull, "")
+        fast = (
+            notnull
+            & u.str.fullmatch(_FAST_URL_RX)
+            & ~u.str.contains(_DIR_INDEX_RX, regex=True)
+        )
+    else:
+        fast = pd.Series([False] * n, dtype="bool")
+
+    if bool(fast.any()):
+        fu = url[fast]
+        norm = fu.where(~fu.str.endswith("/"), fu.str[:-1])
+        host = norm.str.extract(r"^http://([^/]+)", expand=False)
+        path = norm.str.replace(r"^http://[^/]+", "", regex=True)
+        out.loc[fast, "url_norm"] = norm
+        out.loc[fast, "host"] = host
+        out.loc[fast, "path"] = path
+        out.loc[fast, "is_robots"] = (
+            fu.str.extract(r"^http://[^/]+(/.*)?$", expand=False)
+            .fillna("")
+            .str.lower()
+            == "/robots.txt"
+        )
+        out.loc[fast, "is_abs_http"] = True
+
+    slow = notnull & ~fast
+    if bool(slow.any()):
+        from urllib.parse import urlsplit
+
+        idxs = slow[slow].index
+        norms, hosts, paths, robots_flags, abs_flags = [], [], [], [], []
+        for u in url[slow]:
+            nrm = _urlnorm.normalize_url(u, flags)
+            norms.append(nrm)
+            if nrm is None:
+                hosts.append(None)
+                paths.append(None)
+                robots_flags.append(False)
+                abs_flags.append(False)
+                continue
+            hosts.append(_urlnorm.split_host(nrm))
+            try:
+                p = urlsplit(u).path  # robots check uses the RAW path
+            except ValueError:
+                p = ""
+            paths.append(urlsplit(nrm).path)
+            robots_flags.append(p.lower() == "/robots.txt")
+            abs_flags.append(_urlnorm.is_absolute_http(nrm))
+        out.loc[idxs, "url_norm"] = pd.Series(norms, index=idxs, dtype="object")
+        out.loc[idxs, "host"] = pd.Series(hosts, index=idxs, dtype="object")
+        out.loc[idxs, "path"] = pd.Series(paths, index=idxs, dtype="object")
+        out.loc[idxs, "is_robots"] = pd.Series(robots_flags, index=idxs)
+        out.loc[idxs, "is_abs_http"] = pd.Series(abs_flags, index=idxs)
+    return out
+
+
 def make_canonicalize_udf(flags: NF):
     """(url) -> struct(url_norm, host, path, is_robots, is_abs_http).
 
@@ -49,36 +144,7 @@ def make_canonicalize_udf(flags: NF):
 
     @F.pandas_udf(CANON_SCHEMA)
     def canonicalize(url: pd.Series) -> pd.DataFrame:
-        from urllib.parse import urlsplit
-
-        flag_set = NF(flags_value)
-        norms, hosts, paths, robots_flags, abs_flags = [], [], [], [], []
-        for u in url:
-            n = _urlnorm.normalize_url(u, flag_set) if u is not None else None
-            norms.append(n)
-            if n is None:
-                hosts.append(None)
-                paths.append(None)
-                robots_flags.append(False)
-                abs_flags.append(False)
-                continue
-            hosts.append(_urlnorm.split_host(n))
-            try:
-                p = urlsplit(u).path  # robots check uses the RAW path
-            except ValueError:
-                p = ""
-            paths.append(urlsplit(n).path)
-            robots_flags.append(p.lower() == "/robots.txt")
-            abs_flags.append(_urlnorm.is_absolute_http(n))
-        return pd.DataFrame(
-            {
-                "url_norm": norms,
-                "host": hosts,
-                "path": paths,
-                "is_robots": robots_flags,
-                "is_abs_http": abs_flags,
-            }
-        )
+        return canonicalize_series(url, NF(flags_value))
 
     return canonicalize
 

@@ -285,10 +285,27 @@ class CrawlEngine:
                 if bloom is not None
                 else None
             )
+            # localCheckpoint (not persist): materializes the admission
+            # pipeline once AND truncates the logical plan, so the ~6
+            # downstream jobs this wave analyze a flat LogicalRDD instead
+            # of re-running Catalyst over the whole candidates→admission
+            # lineage — driver planning time is serial and was a large
+            # slice of the per-wave fixed latency.
+            #
+            # The round-robin repartition before the cut matters just as
+            # much: AQE coalesces post-shuffle partitions by COMPRESSED
+            # bytes, and URL rows compress so well that a multi-100k-row
+            # admission output lands on 1-4 partitions — which would make
+            # every downstream Python-UDF stage (robots gate) and window
+            # near-serial no matter how many cores the cluster has.  CPU
+            # cost here is per-row, not per-byte, so fan the rows back out
+            # to the executor parallelism (cheap: candidate rows are tiny).
+            wave_parts = self.spark.sparkContext.defaultParallelism * 2
             adm = admit_candidates(
                 candidates, seen, seed_hosts, opts, ext.filter_factory,
                 bloom_shards=shards,
-            ).persist()
+            ).repartition(wave_parts).localCheckpoint(eager=True)
+            _t = _tick("adm_ckpt", _t)
             admitted = adm.filter(F.col("admitted"))
 
             # ---- robots discovery --------------------------------------
@@ -374,9 +391,10 @@ class CrawlEngine:
 
             # ---- robots gate (before fetch, worker.go:85-91) ------------
             # Counter strategy: all wave counters come from ONE combined
-            # aggregation that runs AFTER the wave's checkpoints, when
-            # `gated` and `phased` are already materialized in cache —
-            # the agg is a cheap cache scan, not a recompute.
+            # aggregation; it runs right before the state checkpoints and
+            # doubles as the job that materializes the `gated`/`phased`
+            # caches (no HTML extraction needed), so the checkpoints only
+            # scan caches.
             gate_metrics = [
                 F.sum(F.col("counts_filter").cast("int")).alias("n_filter"),
                 F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
@@ -496,7 +514,11 @@ class CrawlEngine:
                 ).alias("n_visits"),
                 F.sum(F.col("status").isNull().cast("int")).alias("n_fetch_err"),
             ]
-            phased = phased.persist()
+            # plan cut #2: everything after the fetch join (visit
+            # extraction, schedule, state updates, stats) re-reads this
+            _t = _tick("pre_phased", _t)
+            phased = phased.localCheckpoint(eager=True)
+            _t = _tick("phased_ckpt", _t)
 
             if opts.collect_logs:
                 error_parts.append(
@@ -679,6 +701,23 @@ class CrawlEngine:
                     F.col("last_active_wave") >= wave - opts.worker_idle_ttl_waves
                 )
 
+            # ---- settle wave counters -----------------------------------
+            # ONE combined agg, run BEFORE the state checkpoints: this is
+            # the job that materializes the `gated` and `phased` caches
+            # (it needs no HTML extraction), so the checkpoints below —
+            # sequential or concurrent — only ever scan read-only caches
+            # and never race to compute a shared upstream partition.
+            stats = (
+                gated.agg(*gate_metrics)
+                .withColumn("_which", F.lit("gate"))
+                .unionByName(
+                    phased.agg(*fetch_metrics).withColumn("_which", F.lit("fetch")),
+                    allowMissingColumns=True,
+                )
+                .collect()
+            )
+            _t = _tick("stats_agg", _t)
+
             # ---- checkpoint + advance -----------------------------------
             if opts.parallel_checkpoints:
                 from concurrent.futures import ThreadPoolExecutor
@@ -694,8 +733,18 @@ class CrawlEngine:
                     candidates = f_cand.result()
             else:
                 seen_inc = self._ckpt(seen_inc_df, "seen_inc", wave)
+                _t = _tick("ckpt_seen_inc", _t)
                 host_state = self._ckpt(host_state, "host_state", wave)
+                _t = _tick("ckpt_host_state", _t)
                 candidates = self._ckpt(next_candidates, "candidates", wave)
+                _t = _tick("ckpt_candidates", _t)
+            if _TIMING:
+                print(
+                    f"    [parts] adm={adm.rdd.getNumPartitions()} "
+                    f"phased={phased.rdd.getNumPartitions()} "
+                    f"candidates={candidates.rdd.getNumPartitions()}",
+                    flush=True,
+                )
             seen_parts.append(seen_inc)
             if bloom is not None:
                 import numpy as np
@@ -720,17 +769,6 @@ class CrawlEngine:
                         bloom[pid] = arr.copy()
             _t = _tick("state_ckpts", _t)
 
-            # settle the wave counters with one combined agg over the
-            # now-cached gated/phased DataFrames (single cheap job)
-            stats = (
-                gated.agg(*gate_metrics)
-                .withColumn("_which", F.lit("gate"))
-                .unionByName(
-                    phased.agg(*fetch_metrics).withColumn("_which", F.lit("fetch")),
-                    allowMissingColumns=True,
-                )
-                .collect()
-            )
             by_tag = {r["_which"]: r for r in stats}
             g, fm = by_tag["gate"], by_tag["fetch"]
             c.filter += g["n_filter"] or 0

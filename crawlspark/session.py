@@ -31,7 +31,11 @@ def get_spark(
         # persistent seen-set anti-join benefits from runtime bloom pruning
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "24g")
+        # wave state is cut with localCheckpoint; the blocks are freed by
+        # the ContextCleaner once the wave's DataFrames are GC'd — keep
+        # that collection timely so long crawls don't accumulate blocks
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -64,8 +64,20 @@ class PagesSource:
             # so every wave's fetch join shuffles only the (small)
             # candidate side — the local analog of an Iceberg table
             # bucketed on the fetch key (storage-partitioned join)
+            # ... and SORT within partitions on the same key: the cached
+            # plan then advertises both HashPartitioning AND the ordering,
+            # so the per-wave sort-merge fetch join needs neither an
+            # exchange nor a re-sort of the big side (re-sorting 10^6+
+            # html-bearing rows per wave was the dominant wave cost and,
+            # through sort spills, the main run-to-run variance).  This is
+            # the local analog of an Iceberg table with bucket(url) layout
+            # + sorted data files.
             n = buckets or slim.sparkSession.sparkContext.defaultParallelism
-            slim = slim.repartition(n, "fetch_host", "fetch_path").persist()
+            slim = (
+                slim.repartition(n, "fetch_host", "fetch_path")
+                .sortWithinPartitions("fetch_host", "fetch_path")
+                .persist()
+            )
         self.pages = slim
         # tiny dedicated robots table: one fetch join per wave against
         # this instead of the full pages scan
@@ -74,15 +86,27 @@ class PagesSource:
         ).persist()
         self.redirects = redirects
 
-    def _join(self, batch: DataFrame, url_col: str, pages: DataFrame) -> DataFrame:
+    def _join(
+        self, batch: DataFrame, url_col: str, pages: DataFrame, merge: bool = False
+    ) -> DataFrame:
         b = _with_fetch_key(batch, url_col)
+        pages_side = pages.select(
+            "fetch_host",
+            "fetch_path",
+            F.col("html").alias("_page_html"),
+            F.col("text").alias("_page_text"),
+        )
+        if merge:
+            # pin the big fetch join to sort-merge: for a LEFT OUTER join
+            # Catalyst can only broadcast the RIGHT side — the pages
+            # table — which must never happen at web scale (and, near the
+            # size threshold, flip-flops plans run to run).  With the
+            # persisted cache hash-partitioned AND sorted on the fetch
+            # key the SMJ needs no exchange and no sort on the pages
+            # side, so only the (per-wave) candidate batch shuffles.
+            pages_side = pages_side.hint("merge")
         joined = b.join(
-            pages.select(
-                "fetch_host",
-                "fetch_path",
-                F.col("html").alias("_page_html"),
-                F.col("text").alias("_page_text"),
-            ),
+            pages_side,
             on=["fetch_host", "fetch_path"],
             how="left",
         )
@@ -123,8 +147,9 @@ class PagesSource:
     def fetch(self, batch: DataFrame, url_col: str = "url_norm") -> DataFrame:
         """Fetch page rows: left join on (host-no-www, path); adds
         status / html / page_text / redirect_to."""
-        return self._join(batch, url_col, self.pages)
+        return self._join(batch, url_col, self.pages, merge=True)
 
     def fetch_robots(self, batch: DataFrame, url_col: str = "url_norm") -> DataFrame:
-        """Fetch robots.txt rows against the tiny robots subtable."""
+        """Fetch robots.txt rows against the tiny robots subtable
+        (broadcast-able: one row per host that serves a robots.txt)."""
         return self._join(batch, url_col, self.robots_pages)

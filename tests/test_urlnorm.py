@@ -208,3 +208,69 @@ def test_resolve_link():
         resolve_link("http://hostd/page3.html", "//localhost:8080/subdir/page1.html", None)
         == "http://localhost:8080/subdir/page1.html"
     )
+
+
+class TestCanonicalizeSeriesParity:
+    """The vectorized canonicalize kernel (fast path + fallback) must be
+    byte-identical to the per-row normalize_url oracle for every URL."""
+
+    def _check(self, urls, flags=None):
+        import pandas as pd
+        from urllib.parse import urlsplit
+
+        from crawlspark.functions.udfs import canonicalize_series
+        from crawlspark.functions.urlnorm import is_absolute_http
+
+        flags = flags or NF.all_greedy()
+        res = canonicalize_series(pd.Series(urls, dtype="object"), flags)
+        for i, u in enumerate(urls):
+            n = normalize_url(u, flags) if u is not None else None
+            got = res.iloc[i]
+            assert got["url_norm"] == n, (u, got["url_norm"], n)
+            if n is None:
+                continue
+            try:
+                rp = urlsplit(u).path if u else ""
+            except ValueError:
+                rp = ""
+            assert got["host"] == split_host(n), u
+            assert got["path"] == urlsplit(n).path, u
+            assert bool(got["is_robots"]) == (rp.lower() == "/robots.txt"), u
+            assert bool(got["is_abs_http"]) == is_absolute_http(n), u
+
+    def test_edge_corpus(self):
+        self._check(
+            [
+                "http://host1.example/p3.html", "http://h.ex/", "http://h.ex",
+                "http://h.ex/a/b/c", "http://HOST.ex/x", "https://s.ex/y",
+                "http://www.strip.ex/z", "http://h.ex/index.html",
+                "http://h.ex/a/index.html/", "http://h.ex/p?b=2&a=1",
+                "http://h.ex/a//b", "http://h.ex/a/./b", "http://h.ex/a/../b",
+                "http://h.ex/%7Euser", "http://h.ex:80/p", "http://h.ex:8080/p",
+                "http://0x7f000001/p", "http://016.0.0.1/p", "ftp://h.ex/p",
+                "not a url", "http://h.ex/robots.txt", "http://h.ex/Robots.txt",
+                "http://h.ex/robots.txt/", "/relative", "", None,
+                "http://u:p@h.ex/q", "http://h.ex./p", "http://h..ex/p",
+                "http://h.ex/a%2Fb", "http://h.ex/p#frag", "http://a.ex/'q",
+                "http://a.ex/~x!y$z", "http://a.ex/-", "http://www2.ex/ok",
+                "http://wwww.ex/ok", "http://h.ex/Default.asp",
+                "http://h.ex/sub/INDEX.HTM", "http://localhost/p",
+                "http://h.ex/a/.hidden", "http://h.ex/a/..b/c",
+            ]
+        )
+
+    def test_generated_property(self):
+        # cartesian-ish generator over URL components, incl. the fast-path
+        # boundary shapes
+        schemes = ["http://", "https://", "HTTP://"]
+        hosts = ["h.ex", "www.h.ex", "a-b.c1.ex", "0x11.ex", "h.ex:80", "H.EX"]
+        paths = ["", "/", "/a", "/a/", "/a/b.html", "/index.html", "/a//b",
+                 "/a/../", "/%41", "/a?x=1", "/a#f", "/~u", "/a'b", "/.d"]
+        urls = [s + h + p for s in schemes for h in hosts for p in paths]
+        self._check(urls)
+
+    def test_non_greedy_flags_take_slow_path(self):
+        self._check(
+            ["http://h.ex/a", "http://h.ex/a/", "http://www.h.ex/p"],
+            flags=FLAGS_USUALLY_SAFE_NON_GREEDY,
+        )
