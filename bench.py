@@ -129,6 +129,7 @@ def _crawl_once(spark, pages_path: str) -> dict:
         same_host_only=False,
         max_waves=BENCH_WAVES,
         collect_logs=False,  # throughput mode: counters stay exact
+        parallel_checkpoints=True,  # overlap end-of-wave commits + stats
     )
     eng = CrawlEngine(spark, pages, opts)
     t0 = time.perf_counter()

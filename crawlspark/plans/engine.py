@@ -357,33 +357,15 @@ class CrawlEngine:
             )
             parsed = parsed.localCheckpoint(eager=True)
             _t = _tick("robots_parse_ckpt", _t)
-            rc = parsed.agg(
+            # robots counts fold into the combined wave aggregation below
+            # (one fewer blocking driver round-trip per wave)
+            robots_metrics = [
                 F.count(F.lit(1)).alias("n_hosts"),
-                F.sum((~F.col("cached")).cast("int")).alias("n_fetched"),
-                F.sum((~F.col("cached") & F.col("status").isNull()).cast("int")).alias(
-                    "n_miss"
-                ),
-            ).collect()[0]
-            _t = _tick("robots_counts", _t)
-            n_new_hosts = rc["n_hosts"] or 0
-            n_rob_fetched = rc["n_fetched"] or 0
-            n_rob_miss = rc["n_miss"] or 0
-            c.request_robots += n_new_hosts
-            c.fetch += n_rob_fetched
-            c.compute_delay += n_rob_fetched
-            # robots misses are kind-fetch errors (file-fetcher semantics,
-            # fileext_test.go:42-47)
-            c.add_error("fetch", n_rob_miss)
-            if opts.collect_logs and n_rob_miss:
-                error_parts.append(
-                    parsed.filter(~F.col("cached") & F.col("status").isNull())
-                    .select(
-                        F.col("url_norm").alias("url"),
-                        F.lit("fetch").alias("kind"),
-                        F.lit(wave).alias("wave"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
+                F.sum((~F.col("cached")).cast("int")).alias("n_rob_fetched"),
+                F.sum(
+                    (~F.col("cached") & F.col("status").isNull()).cast("int")
+                ).alias("n_rob_miss"),
+            ]
 
             rules_for_wave = host_state.select(
                 "host", "rules_json", "robots_delay_ms"
@@ -702,36 +684,54 @@ class CrawlEngine:
                 )
 
             # ---- settle wave counters -----------------------------------
-            # ONE combined agg, run BEFORE the state checkpoints: this is
-            # the job that materializes the `gated` and `phased` caches
-            # (it needs no HTML extraction), so the checkpoints below —
-            # sequential or concurrent — only ever scan read-only caches
-            # and never race to compute a shared upstream partition.
-            stats = (
-                gated.agg(*gate_metrics)
-                .withColumn("_which", F.lit("gate"))
-                .unionByName(
-                    phased.agg(*fetch_metrics).withColumn("_which", F.lit("fetch")),
-                    allowMissingColumns=True,
+            # ONE combined agg (gate + fetch + robots counts) over the
+            # wave's caches/checkpoints — no HTML extraction, no extra
+            # lineage: `gated` is persisted (materialized by the phased
+            # checkpoint), `phased` and `parsed` are checkpointed, so
+            # this job and the state checkpoints below only ever scan
+            # read-only blocks and never race to compute a shared
+            # upstream partition.  Under ``parallel_checkpoints`` it
+            # runs CONCURRENTLY with the three state commits: the end
+            # of every wave is then one overlapped burst of independent
+            # jobs instead of a serial chain of driver round-trips.
+            def _settle_stats():
+                return (
+                    gated.agg(*gate_metrics)
+                    .withColumn("_which", F.lit("gate"))
+                    .unionByName(
+                        phased.agg(*fetch_metrics).withColumn(
+                            "_which", F.lit("fetch")
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        parsed.agg(*robots_metrics).withColumn(
+                            "_which", F.lit("robots")
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            _t = _tick("stats_agg", _t)
 
             # ---- checkpoint + advance -----------------------------------
             if opts.parallel_checkpoints:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(3) as pool:
+                with ThreadPoolExecutor(4) as pool:
+                    f_stats = pool.submit(_settle_stats)
                     f_seen = pool.submit(self._ckpt, seen_inc_df, "seen_inc", wave)
                     f_host = pool.submit(self._ckpt, host_state, "host_state", wave)
                     f_cand = pool.submit(
                         self._ckpt, next_candidates, "candidates", wave
                     )
+                    stats = f_stats.result()
                     seen_inc = f_seen.result()
                     host_state = f_host.result()
                     candidates = f_cand.result()
+                _t = _tick("overlapped_stats+ckpts", _t)
             else:
+                stats = _settle_stats()
+                _t = _tick("stats_agg", _t)
                 seen_inc = self._ckpt(seen_inc_df, "seen_inc", wave)
                 _t = _tick("ckpt_seen_inc", _t)
                 host_state = self._ckpt(host_state, "host_state", wave)
@@ -770,7 +770,26 @@ class CrawlEngine:
             _t = _tick("state_ckpts", _t)
 
             by_tag = {r["_which"]: r for r in stats}
-            g, fm = by_tag["gate"], by_tag["fetch"]
+            g, fm, rb = by_tag["gate"], by_tag["fetch"], by_tag["robots"]
+            n_new_hosts = rb["n_hosts"] or 0
+            n_rob_fetched = rb["n_rob_fetched"] or 0
+            n_rob_miss = rb["n_rob_miss"] or 0
+            c.request_robots += n_new_hosts
+            c.fetch += n_rob_fetched
+            c.compute_delay += n_rob_fetched
+            # robots misses are kind-fetch errors (file-fetcher semantics,
+            # fileext_test.go:42-47)
+            c.add_error("fetch", n_rob_miss)
+            if opts.collect_logs and n_rob_miss:
+                error_parts.append(
+                    parsed.filter(~F.col("cached") & F.col("status").isNull())
+                    .select(
+                        F.col("url_norm").alias("url"),
+                        F.lit("fetch").alias("kind"),
+                        F.lit(wave).alias("wave"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
             c.filter += g["n_filter"] or 0
             n_admitted = g["n_admitted"] or 0
             n_bypass = g["n_bypass"] or 0
