@@ -170,14 +170,46 @@ def _crawl_level(cores: int) -> dict:
     return best
 
 
+def _crawl_level_subprocess(cores: int) -> dict:
+    """Run one scaling level in a CHILD python process.
+
+    A truly fresh JVM *and* Python driver per level: a second
+    SparkContext inside one Python process leaves the first context's
+    Python-accumulator server wedged (every task update then fails with
+    "EOF reached before Python server acknowledged" and the level
+    measures the error path, not the engine).  Process isolation is
+    also the faithful emulation of the protocol's "fresh JVM per
+    cluster size"."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl-level", str(cores)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("LEVEL_JSON "):
+            return json.loads(line[len("LEVEL_JSON "):])
+    raise RuntimeError(
+        f"crawl level {cores} failed (rc={proc.returncode}): "
+        f"{proc.stderr[-2000:]}"
+    )
+
+
 def main() -> None:
+    if "--crawl-level" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--crawl-level") + 1])
+        print("LEVEL_JSON " + json.dumps(_crawl_level(cores)), flush=True)
+        return
+
     import __spark_entry__ as entry_mod
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     queries: dict[str, float] = {}
 
     # --- phase A: scaling run at low parallelism ------------------------
-    crawl_low = _crawl_level(LOW_CORES)
+    crawl_low = _crawl_level_subprocess(LOW_CORES)
 
     # --- phase B: operator queries at full CPUS -------------------------
     _pin_cpus(None)
@@ -190,7 +222,7 @@ def main() -> None:
     spark.stop()
 
     # --- phase C: scaling run at high parallelism (fresh JVM) -----------
-    crawl_high = _crawl_level(HIGH_CORES)
+    crawl_high = _crawl_level_subprocess(HIGH_CORES)
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
 
     ratio = HIGH_CORES / LOW_CORES

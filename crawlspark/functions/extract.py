@@ -22,11 +22,18 @@ inside Arrow-vectorized pandas UDFs.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from crawlspark.functions.urlnorm import resolve_link
 
-__all__ = ["parse_page", "extract_links", "extract_text", "TEXT_SPEC_VERSION"]
+__all__ = [
+    "parse_page",
+    "extract_links",
+    "extract_text",
+    "resolve_links",
+    "TEXT_SPEC_VERSION",
+]
 
 TEXT_SPEC_VERSION = 1
 
@@ -79,9 +86,63 @@ class _PageParser(HTMLParser):
                 self.text_chunks.append(chunk)
 
 
-def parse_page(html: bytes | str) -> _PageParser:
-    if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+# ---------------------------------------------------------------------------
+# Fast path: a restricted HTML profile parseable with C-speed regexes.
+#
+# A document qualifies when it is a plain sequence of text nodes and
+# lowercase tags with double-quoted attributes — no entities ("&"), no
+# comments/doctype/PIs ("<!", "<?"), no <script>/<style>/<template>/
+# <noscript>/<base>, no "<" or quotes inside attribute values.  On this
+# profile the regex pipeline below is PROVABLY equivalent to the
+# html.parser path (every "<" opens a tag that ends at the first ">",
+# so tag removal and href capture are exact); equivalence is also
+# property-tested (fast vs slow on fixtures + random docs).  Well-formed
+# machine-generated pages — the overwhelming majority of a crawl corpus
+# — hit this path at ~10x the stdlib parser's speed; anything else
+# falls back to html.parser.
+# ---------------------------------------------------------------------------
+
+# possessive quantifiers (Python 3.11+) throughout: the profile gate
+# must be LINEAR on rejecting inputs — with ordinary greedy quantifiers
+# the (text|tag)* loop backtracks exponentially on long non-matching
+# documents (hypothesis found this immediately)
+_TAG_BODY = r"/?+[a-z][a-z0-9]*+(?:\s++[a-z-]++=\"[^\"<>&]*+\")*+\s*+/?"
+_SIMPLE_RX = re.compile(r"(?:[^<&]++|<" + _TAG_BODY + r">)*+\Z")
+_FORBIDDEN_RX = re.compile(r"<(?:script|style|template|noscript|base)\b")
+_ANY_TAG_RX = re.compile(r"<[^>]*>")
+_A_TAG_RX = re.compile(r"<a(?=[\s/>])([^>]*)>")
+# \s anchor: in the validated grammar every attribute is preceded by
+# whitespace, and it keeps data-href-style names from matching
+_HREF_RX = re.compile(r"\shref=\"([^\"]*)\"")
+
+
+class _FastPage:
+    __slots__ = ("base_href", "hrefs", "text_chunks")
+
+    def __init__(self, hrefs: list[str], text_chunks: list[str]):
+        self.base_href = None
+        self.hrefs = hrefs
+        self.text_chunks = text_chunks
+
+
+def _parse_simple(html: str) -> _FastPage | None:
+    """Regex parse for the restricted profile; None → caller falls back."""
+    if "\x00" in html or _FORBIDDEN_RX.search(html) or not _SIMPLE_RX.match(html):
+        return None
+    hrefs = []
+    for m in _A_TAG_RX.finditer(html):
+        hm = _HREF_RX.search(m.group(1))
+        if hm:
+            hrefs.append(hm.group(1))
+    chunks = [
+        c
+        for c in (s.strip() for s in _ANY_TAG_RX.sub("\x00", html).split("\x00"))
+        if c
+    ]
+    return _FastPage(hrefs, chunks)
+
+
+def _parse_page_slow(html: str) -> _PageParser:
     p = _PageParser()
     try:
         p.feed(html)
@@ -95,16 +156,65 @@ def parse_page(html: bytes | str) -> _PageParser:
     return p
 
 
+def parse_page(html: bytes | str):
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    fast = _parse_simple(html)
+    if fast is not None:
+        return fast
+    return _parse_page_slow(html)
+
+
+# page-URL prefix for trivial resolution: scheme://host with a root path
+_PAGE_PREFIX_RX = re.compile(r"\A(https?://[^/?#]+)(?:/|\Z)")
+# absolute-path href whose resolution is prefix+href verbatim: no
+# protocol-relative "//", no dot segments, no fragment
+_PLAIN_PATH_RX = re.compile(r"\A/(?!/)[^#]*\Z")
+# absolute http(s) href that urljoin returns unchanged
+_PLAIN_ABS_RX = re.compile(r"\Ahttps?://[^/?#]+/[^#]*\Z")
+_DOT_SEG_RX = re.compile(r"/\.{1,2}(?:/|\Z)")
+
+
+def resolve_links(
+    page_url: str, hrefs: list[str], base_href: str | None
+) -> list[str]:
+    """Batched ``resolve_link``: same outputs, one page-prefix parse.
+
+    The two trivial cases — absolute-path hrefs and clean absolute
+    http(s) hrefs, both without dot segments or fragments — skip
+    ``urljoin`` entirely (string concat); everything else falls back to
+    ``resolve_link`` per href.  Property-tested equal to the per-href
+    path (tests/test_extract.py)."""
+    out: list[str] = []
+    if base_href is not None:
+        for href in hrefs:
+            r = resolve_link(page_url, href, base_href)
+            if r is not None:
+                out.append(r)
+        return out
+    pm = _PAGE_PREFIX_RX.match(page_url) if page_url else None
+    prefix = pm.group(1) if pm else None
+    for href in hrefs:
+        if not href or href.startswith("#"):
+            continue
+        if prefix is not None and not _DOT_SEG_RX.search(href):
+            if _PLAIN_PATH_RX.match(href):
+                out.append(prefix + href)
+                continue
+            if _PLAIN_ABS_RX.match(href):
+                out.append(href)
+                continue
+        r = resolve_link(page_url, href, None)
+        if r is not None:
+            out.append(r)
+    return out
+
+
 def extract_links(html: bytes | str, page_url: str) -> list[str]:
     """Resolved outlinks of a page in document order (may contain dups —
     the admission pipeline, not extraction, dedups; crawler.go:199-273)."""
     p = parse_page(html)
-    out: list[str] = []
-    for href in p.hrefs:
-        resolved = resolve_link(page_url, href, p.base_href)
-        if resolved is not None:
-            out.append(resolved)
-    return out
+    return resolve_links(page_url, p.hrefs, p.base_href)
 
 
 def extract_text(html: bytes | str) -> str:

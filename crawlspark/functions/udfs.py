@@ -194,12 +194,7 @@ def extract_page_udf(html: pd.Series, page_url: pd.Series) -> pd.DataFrame:
         if u is None:
             links.append([])
         else:
-            out = []
-            for href in p.hrefs:
-                r = _extract.resolve_link(u, href, p.base_href)
-                if r is not None:
-                    out.append(r)
-            links.append(out)
+            links.append(_extract.resolve_links(u, p.hrefs, p.base_href))
     return pd.DataFrame({"text": texts, "links": links})
 
 
