@@ -95,19 +95,36 @@ def _ensure_pages(spark) -> str:
     return CACHE
 
 
-def _seeds() -> list[str]:
+def _seeds_df(spark):
+    """Deterministic seed frontier as a JVM-side DataFrame.
+
+    Round-robin over hosts, k-th page of each host, dropping indices
+    past a host's page range.  Built with range + a broadcast bounds
+    join so the (large) seed list never exists driver-side — shipping
+    10^5+ python strings through createDataFrame was ~7s of pure
+    serial driver latency per measured run, at every parallelism level."""
+    from pyspark.sql import functions as F
+
     from crawlspark.fixtures import zipf_bounds
 
     bounds = zipf_bounds(BENCH_PAGES, BENCH_HOSTS)
-    seeds: list[str] = []
-    i = 0
-    while len(seeds) < BENCH_SEEDS and i < BENCH_SEEDS * 10:
-        h = i % BENCH_HOSTS
-        pid = bounds[h] + i // BENCH_HOSTS
-        if pid < bounds[h + 1]:
-            seeds.append(f"http://host{h}.example/p{pid}.html")
-        i += 1
-    return seeds
+    bdf = spark.createDataFrame(
+        [(h, bounds[h], bounds[h + 1]) for h in range(BENCH_HOSTS)],
+        "h int, lo long, hi long",
+    )
+    return (
+        spark.range(BENCH_SEEDS)
+        .withColumn("h", (F.col("id") % BENCH_HOSTS).cast("int"))
+        .withColumn("k", (F.col("id") / BENCH_HOSTS).cast("long"))
+        .join(F.broadcast(bdf), on="h")
+        .withColumn("pid", F.col("lo") + F.col("k"))
+        .filter(F.col("pid") < F.col("hi"))
+        .select(
+            F.format_string(
+                "http://host%d.example/p%d.html", F.col("h"), F.col("pid")
+            ).alias("url")
+        )
+    )
 
 
 def _crawl_once(spark, pages_path: str) -> dict:
@@ -133,11 +150,21 @@ def _crawl_once(spark, pages_path: str) -> dict:
     )
     eng = CrawlEngine(spark, pages, opts)
     t0 = time.perf_counter()
-    res = eng.run(_seeds())
+    res = eng.run(_seeds_df(spark))
     dt = time.perf_counter() - t0
     # free this run's pages cache so repeated reps don't stack copies
     pages.pages.unpersist()
     pages.robots_pages.unpersist()
+    # ... and every surviving block (localCheckpoint state, persisted wave
+    # caches): with the periodic-GC cleaner deliberately slow (see
+    # session.py), a rep would otherwise run against the previous rep's
+    # multi-GB block residue and measure memory pressure, not the engine
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jid in jmap.keySet().toArray():
+        try:
+            jmap.get(jid).unpersist(True)
+        except Exception:
+            pass
     return {
         "seconds": dt,
         "fetches": res.counters.fetch,

@@ -198,6 +198,9 @@ class CrawlEngine:
         return self.run(seeds, resume_state=state)
 
     def run(self, seeds, resume_state: dict | None = None) -> CrawlResult:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         opts, ext = self.opts, self.ext
         self._pending = []  # fresh run = fresh state (complex_test.go:101-133)
         c = Counters()
@@ -234,6 +237,7 @@ class CrawlEngine:
         ).localCheckpoint(eager=True)
         n_seeds = candidates.count()
         n_seed_hosts = seed_hosts.count()
+        _t0 = _tick("seed_setup", _t0)
 
         deferred = self._empty(DEFER_DDL)
         seen_parts: list[DataFrame] = [self._empty(SEEN_DDL)]
@@ -285,27 +289,30 @@ class CrawlEngine:
                 if bloom is not None
                 else None
             )
-            # localCheckpoint (not persist): materializes the admission
-            # pipeline once AND truncates the logical plan, so the ~6
-            # downstream jobs this wave analyze a flat LogicalRDD instead
-            # of re-running Catalyst over the whole candidates→admission
-            # lineage — driver planning time is serial and was a large
-            # slice of the per-wave fixed latency.
+            # persist (LAZY): the whole wave — admission → robots → gate →
+            # fetch → extraction → next candidates — materializes as ONE
+            # Spark job at the wave-end candidates checkpoint, with adm/
+            # parsed/gated/phased cached along the way.  Eagerly cutting
+            # each stage into its own job put 3 extra driver round-trips
+            # on the serial path per wave; at cluster scale each round
+            # trip is scheduler latency that no amount of executors can
+            # parallelize.  The follow-up jobs (stats, seen/host commits)
+            # scan the warm caches only.
             #
-            # The round-robin repartition before the cut matters just as
-            # much: AQE coalesces post-shuffle partitions by COMPRESSED
-            # bytes, and URL rows compress so well that a multi-100k-row
-            # admission output lands on 1-4 partitions — which would make
-            # every downstream Python-UDF stage (robots gate) and window
-            # near-serial no matter how many cores the cluster has.  CPU
-            # cost here is per-row, not per-byte, so fan the rows back out
-            # to the executor parallelism (cheap: candidate rows are tiny).
+            # The round-robin repartition matters: AQE coalesces
+            # post-shuffle partitions by COMPRESSED bytes, and URL rows
+            # compress so well that a multi-100k-row admission output
+            # lands on 1-4 partitions — which would make every downstream
+            # Python-UDF stage (robots gate) and window near-serial no
+            # matter how many cores the cluster has.  CPU cost here is
+            # per-row, not per-byte, so fan the rows back out to the
+            # executor parallelism (cheap: candidate rows are tiny).
             wave_parts = self.spark.sparkContext.defaultParallelism * 2
             adm = admit_candidates(
                 candidates, seen, seed_hosts, opts, ext.filter_factory,
                 bloom_shards=shards,
-            ).repartition(wave_parts).localCheckpoint(eager=True)
-            _t = _tick("adm_ckpt", _t)
+            ).repartition(wave_parts).persist()
+            _t = _tick("adm_plan", _t)
             admitted = adm.filter(F.col("admitted"))
 
             # ---- robots discovery --------------------------------------
@@ -355,8 +362,8 @@ class CrawlEngine:
                 F.col("_r.rules_json").alias("rules_json"),
                 F.col("_r.crawl_delay_ms").alias("robots_delay_ms"),
             )
-            parsed = parsed.localCheckpoint(eager=True)
-            _t = _tick("robots_parse_ckpt", _t)
+            parsed = parsed.persist()
+            _t = _tick("robots_parse_plan", _t)
             # robots counts fold into the combined wave aggregation below
             # (one fewer blocking driver round-trip per wave)
             robots_metrics = [
@@ -377,21 +384,29 @@ class CrawlEngine:
             # doubles as the job that materializes the `gated`/`phased`
             # caches (no HTML extraction needed), so the checkpoints only
             # scan caches.
-            gate_metrics = [
+            adm_metrics = [
                 F.sum(F.col("counts_filter").cast("int")).alias("n_filter"),
                 F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
                 F.sum(F.col("robots_bypass").cast("int")).alias("n_bypass"),
-                F.sum(
-                    (F.col("admitted") & ~F.col("robots_allowed")).cast("int")
-                ).alias("n_disallowed"),
             ]
-            gated = adm.join(rules_for_wave, on="host", how="left").withColumn(
-                "robots_allowed",
-                F.col("admitted")
-                & F.when(F.col("rules_json").isNull(), F.lit(True)).otherwise(
-                    robots_allowed_udf(F.col("rules_json"), F.col("path"))
-                ),
-            ).persist()
+            gate_metrics = [
+                F.sum((~F.col("robots_allowed")).cast("int")).alias("n_disallowed"),
+            ]
+            # gate ONLY the admitted rows: a pandas UDF inside when() is
+            # still evaluated over every input row (Catalyst hoists it to
+            # an ArrowEvalPython node before the projection), so filtering
+            # first cuts the gate's Python work to the admitted fraction
+            gated = (
+                adm.filter(F.col("admitted"))
+                .join(rules_for_wave, on="host", how="left")
+                .withColumn(
+                    "robots_allowed",
+                    F.when(F.col("rules_json").isNull(), F.lit(True)).otherwise(
+                        robots_allowed_udf(F.col("rules_json"), F.col("path"))
+                    ),
+                )
+                .persist()
+            )
             allowed = gated.filter(F.col("robots_allowed"))
 
             # ---- per-host sequencing ------------------------------------
@@ -496,11 +511,11 @@ class CrawlEngine:
                 ).alias("n_visits"),
                 F.sum(F.col("status").isNull().cast("int")).alias("n_fetch_err"),
             ]
-            # plan cut #2: everything after the fetch join (visit
-            # extraction, schedule, state updates, stats) re-reads this
+            # cached, not checkpointed: everything after the fetch join
+            # (visit extraction, schedule, state updates, stats) re-reads
+            # this; the wave-end candidates commit computes it once
             _t = _tick("pre_phased", _t)
-            phased = phased.localCheckpoint(eager=True)
-            _t = _tick("phased_ckpt", _t)
+            phased = phased.persist()
 
             if opts.collect_logs:
                 error_parts.append(
@@ -696,8 +711,14 @@ class CrawlEngine:
             # jobs instead of a serial chain of driver round-trips.
             def _settle_stats():
                 return (
-                    gated.agg(*gate_metrics)
-                    .withColumn("_which", F.lit("gate"))
+                    adm.agg(*adm_metrics)
+                    .withColumn("_which", F.lit("adm"))
+                    .unionByName(
+                        gated.agg(*gate_metrics).withColumn(
+                            "_which", F.lit("gate")
+                        ),
+                        allowMissingColumns=True,
+                    )
                     .unionByName(
                         phased.agg(*fetch_metrics).withColumn(
                             "_which", F.lit("fetch")
@@ -714,20 +735,24 @@ class CrawlEngine:
                 )
 
             # ---- checkpoint + advance -----------------------------------
+            # The candidates commit runs FIRST: it is the one job that
+            # traverses the whole wave (admission → robots gate → fetch →
+            # extraction), materializing every persisted cache along the
+            # way.  The remaining commits and the stats aggregation then
+            # only scan warm caches — under ``parallel_checkpoints`` they
+            # overlap as one burst of concurrent cache-only jobs.
+            candidates = self._ckpt(next_candidates, "candidates", wave)
+            _t = _tick("ckpt_candidates", _t)
             if opts.parallel_checkpoints:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(4) as pool:
+                with ThreadPoolExecutor(3) as pool:
                     f_stats = pool.submit(_settle_stats)
                     f_seen = pool.submit(self._ckpt, seen_inc_df, "seen_inc", wave)
                     f_host = pool.submit(self._ckpt, host_state, "host_state", wave)
-                    f_cand = pool.submit(
-                        self._ckpt, next_candidates, "candidates", wave
-                    )
                     stats = f_stats.result()
                     seen_inc = f_seen.result()
                     host_state = f_host.result()
-                    candidates = f_cand.result()
                 _t = _tick("overlapped_stats+ckpts", _t)
             else:
                 stats = _settle_stats()
@@ -736,8 +761,6 @@ class CrawlEngine:
                 _t = _tick("ckpt_seen_inc", _t)
                 host_state = self._ckpt(host_state, "host_state", wave)
                 _t = _tick("ckpt_host_state", _t)
-                candidates = self._ckpt(next_candidates, "candidates", wave)
-                _t = _tick("ckpt_candidates", _t)
             if _TIMING:
                 print(
                     f"    [parts] adm={adm.rdd.getNumPartitions()} "
@@ -770,7 +793,9 @@ class CrawlEngine:
             _t = _tick("state_ckpts", _t)
 
             by_tag = {r["_which"]: r for r in stats}
-            g, fm, rb = by_tag["gate"], by_tag["fetch"], by_tag["robots"]
+            a, g, fm, rb = (
+                by_tag["adm"], by_tag["gate"], by_tag["fetch"], by_tag["robots"]
+            )
             n_new_hosts = rb["n_hosts"] or 0
             n_rob_fetched = rb["n_rob_fetched"] or 0
             n_rob_miss = rb["n_rob_miss"] or 0
@@ -790,9 +815,9 @@ class CrawlEngine:
                     )
                     .localCheckpoint(eager=True)
                 )
-            c.filter += g["n_filter"] or 0
-            n_admitted = g["n_admitted"] or 0
-            n_bypass = g["n_bypass"] or 0
+            c.filter += a["n_filter"] or 0
+            n_admitted = a["n_admitted"] or 0
+            n_bypass = a["n_bypass"] or 0
             n_disallowed = g["n_disallowed"] or 0
             c.disallowed += n_disallowed
             c.enqueued += n_admitted + n_bypass + n_new_hosts
@@ -805,7 +830,7 @@ class CrawlEngine:
             c.visited += n_visits
             visits_total += n_visits
             c.add_error("fetch", fm["n_fetch_err"] or 0)
-            n_filter_wave = g["n_filter"] or 0
+            n_filter_wave = a["n_filter"] or 0
             _t = _tick("metrics_read", _t)
 
             # per-partition lineage metrics (FIXTURES.md §2 metrics table):
@@ -813,7 +838,7 @@ class CrawlEngine:
             # crawl can audit exactly which partition produced what
             if self.opts.checkpoint_dir:
                 lineage = (
-                    gated.groupBy(F.spark_partition_id().alias("partition_id"))
+                    adm.groupBy(F.spark_partition_id().alias("partition_id"))
                     .agg(
                         F.count(F.lit(1)).alias("count"),
                         F.sum(F.col("admitted").cast("long")).alias("admitted"),
@@ -900,6 +925,7 @@ class CrawlEngine:
             adm.unpersist()
             gated.unpersist()
             phased.unpersist()
+            parsed.unpersist()
             if opts.collect_logs:
                 scheduled.unpersist()
 

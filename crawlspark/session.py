@@ -33,9 +33,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         # wave state is cut with localCheckpoint; the blocks are freed by
-        # the ContextCleaner once the wave's DataFrames are GC'd — keep
-        # that collection timely so long crawls don't accumulate blocks
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # the ContextCleaner once the wave's DataFrames are GC'd.  Do NOT
+        # make this aggressive: each forced GC floods the single-threaded
+        # BlockManagerMaster endpoint with per-block removals, and
+        # localCheckpoint's per-partition `contains` RPCs then queue
+        # behind them — observed as 30-60s stalls in otherwise sub-second
+        # stages (thread dumps: LocalRDDCheckpointData.doCheckpoint →
+        # BlockManagerMaster.contains, executors idle).  30min still
+        # bounds block accumulation on long crawls.
+        .config("spark.cleaner.periodicGC.interval", "30min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
