@@ -300,6 +300,20 @@ def _q_embedding_ann_bucketed(spark, sf):
     return bucketed_topk(emb, query, k=10)
 
 
+def _q_embedding_near_dup(spark, sf):
+    from crawlspark.operators.similarity import cosine_near_dup
+
+    return cosine_near_dup(_t(spark, sf, "embeddings"), threshold_e2=30)
+
+
+def _q_embedding_near_dup_lsh(spark, sf):
+    from crawlspark.operators.similarity import cosine_near_dup_lsh
+
+    return cosine_near_dup_lsh(
+        _t(spark, sf, "embeddings"), threshold_e2=30, planes=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_schedule": _flagship,
@@ -325,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_topk": _q_embedding_topk,
         "embedding_ann_bucketed": _q_embedding_ann_bucketed,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
 
 
@@ -538,6 +554,29 @@ FROM ex JOIN qx ON ex.p = qx.p
 GROUP BY ex.vec_id
 ORDER BY dot_q DESC, vec_id LIMIT 20
 """,
-        # embedding_ann_bucketed: intentionally no oracle (LSH bucket
-        # membership is engine-defined) → driver rows-only check
+        "embedding_near_dup": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_sum(list_transform(range(1, len(a.q)+1),
+              i -> a.q[i]*b.q[i])) AS BIGINT) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, dot FROM p
+WHERE dot > 0 AND dot*dot*10000 >= 900 * na2 * nb2
+""",
+        # embedding_ann_bucketed / embedding_near_dup_lsh: intentionally
+        # no oracle (LSH bucket membership is engine-defined; the LSH
+        # near-dup result is a recall-tunable subset of
+        # embedding_near_dup) → driver rows-only check
     }

@@ -76,6 +76,94 @@ def srp_bucket(emb: DataFrame, planes: int = 8, vec_col: str = "embedding") -> D
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def cosine_near_dup(
+    emb: DataFrame, threshold_e2: int = 30, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs form.
+
+    Emits (a_id, b_id, dot) for every pair with cosine similarity ≥
+    threshold_e2/100, decided in EXACT integer arithmetic so the DuckDB
+    oracle replays it bit-for-bit:
+
+        dot > 0  ∧  dot² · 10⁴ ≥ threshold_e2² · |a|² · |b|²
+
+    over e3-quantized vectors (cosine ≥ t ⟺ dot²·1e4 ≥ (t·100)²·na²·nb²
+    for positive dot; all terms ≤ ~1.6e17 for 64-dim unit-scale vectors,
+    well inside bigint).
+
+    The build side is broadcast: at probe-corpus scale this operator is
+    for correctness and re-ranking; the 10^10-vector path is
+    :func:`cosine_near_dup_lsh`, which makes the pair join bucket-local.
+    """
+    q = emb.select("vec_id", _quantized(F.col(vec_col)).alias("q"))
+    q = q.withColumn("n2", _dot(F.col("q"), F.col("q")))
+    a = q.select(
+        F.col("vec_id").alias("a_id"), F.col("q").alias("_qa"),
+        F.col("n2").alias("_na2"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("b_id"), F.col("q").alias("_qb"),
+        F.col("n2").alias("_nb2"),
+    )
+    t2_e4 = threshold_e2 * threshold_e2
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", _dot(F.col("_qa"), F.col("_qb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(10000)
+                >= F.lit(t2_e4) * F.col("_na2") * F.col("_nb2")
+            )
+        )
+        .select("a_id", "b_id", "dot")
+    )
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame, threshold_e2: int = 30, planes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup scale path: SRP-bucket both sides, pair only within a
+    bucket (high-cosine pairs agree on sign projections with high
+    probability), then apply the exact integer cosine test.
+
+    The pair join becomes an equi join on `bucket` — shuffle volume is
+    O(sum of bucket sizes squared / #buckets), partition-local after the
+    bucket shuffle, instead of an O(n²) broadcast nested loop.  Recall
+    is tunable via `planes` (fewer planes → bigger buckets → higher
+    recall); results are always a subset of :func:`cosine_near_dup`.
+    """
+    buckets = srp_bucket(emb, planes, vec_col)
+    q = (
+        emb.join(buckets, "vec_id")
+        .select("vec_id", "bucket", _quantized(F.col(vec_col)).alias("q"))
+        .withColumn("n2", _dot(F.col("q"), F.col("q")))
+    )
+    a = q.select(
+        "bucket", F.col("vec_id").alias("a_id"), F.col("q").alias("_qa"),
+        F.col("n2").alias("_na2"),
+    )
+    b = q.select(
+        "bucket", F.col("vec_id").alias("b_id"), F.col("q").alias("_qb"),
+        F.col("n2").alias("_nb2"),
+    )
+    t2_e4 = threshold_e2 * threshold_e2
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", _dot(F.col("_qa"), F.col("_qb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(10000)
+                >= F.lit(t2_e4) * F.col("_na2") * F.col("_nb2")
+            )
+        )
+        .select("a_id", "b_id", "dot")
+    )
+
+
 def bucketed_topk(
     emb: DataFrame, query: DataFrame, k: int = 20, planes: int = 8,
     vec_col: str = "embedding",

@@ -43,7 +43,23 @@ def test_all_queries_have_unique_names():
     assert len(q) >= 20
     missing_oracle = set(q) - set(entry_mod.oracle_sql())
     # only intentionally non-SQL-expressible ops may omit oracles
-    assert missing_oracle <= {"embedding_ann_bucketed"}
+    assert missing_oracle <= {"embedding_ann_bucketed", "embedding_near_dup_lsh"}
+
+
+def test_near_dup_lsh_subset_of_exact(spark):
+    """The SRP-bucketed near-dup scale path returns a (non-trivial)
+    subset of the exact all-pairs result at the same threshold."""
+    exact = {
+        (r["a_id"], r["b_id"], r["dot"])
+        for r in entry_mod.queries()["embedding_near_dup"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["dot"])
+        for r in entry_mod.queries()["embedding_near_dup_lsh"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    assert exact, "threshold should produce pairs at sf0.001"
+    assert lsh, "4-plane SRP buckets should retain some near-dup pairs"
 
 
 def test_entry_smoke(spark):
