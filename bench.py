@@ -9,9 +9,12 @@ Phases:
 1. operator queries from __spark_entry__.queries() at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
 2. the crawl wave loop over a deterministic synthetic Common-Crawl-style
-   graph (1M pages, Zipf host skew, no external data) at TWO parallelism
+   graph (2M pages, Zipf host skew, no external data) at TWO parallelism
    levels — the sandbox evidence protocol for the north rule's N→4N
    scaling criterion (see BASELINE.md "Sandbox evidence protocol").
+   The crawl runs in DURABLE-commit mode: every wave writes frontier /
+   seen / host_state / lineage parquet commits (the Iceberg analog) and
+   is resumable mid-frontier from exactly what the benchmark writes.
 
 The scaling pair is local[2] → local[8]: measurements across this
 machine show a single-JVM local-mode contention wall above ~8 task
@@ -39,16 +42,16 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
-BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "10000"))
-BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "100000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20000"))
+BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "200000"))
 BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
 LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
 HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", str(min(8, CPUS))))
 # min-of-N runs per level: the sandbox host shows heavy run-to-run noise
-# (same config measured 36s..63s); min is the standard noise-robust
-# estimator, and run 2 in the same JVM is JIT/UDF-warm = steady state
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# (same config measured 37s..152s across a day); min is the standard
+# noise-robust estimator, and runs 2+ in the same JVM are JIT/UDF-warm
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 CACHE = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE",
     f"/root/repo/.bench_cache/pages_{BENCH_PAGES}_{BENCH_HOSTS}",
@@ -128,6 +131,8 @@ def _seeds_df(spark):
 
 
 def _crawl_once(spark, pages_path: str) -> dict:
+    import shutil
+
     from crawlspark.config import Options
     from crawlspark.plans.engine import CrawlEngine
     from crawlspark.sources.pages import PagesSource
@@ -137,16 +142,26 @@ def _crawl_once(spark, pages_path: str) -> dict:
     # layout analog), and warm it before timing: the measurement is
     # steady-state scheduling+fetch throughput, not first-touch I/O.
     pages = PagesSource(
-        spark.read.parquet(pages_path), versioned=False, persist=True
+        spark.read.parquet(pages_path), versioned=False, persist=True,
+        buckets=spark.sparkContext.defaultParallelism * 2,
     )
     pages.pages.count()
     pages.robots_pages.count()
+    # DURABLE wave commits (parquet = the Iceberg-commit analog), not
+    # localCheckpoint: this measures the resumable mode the north rule
+    # asks for (frontier/seen/host_state/lineage committed every wave)
+    # AND is faster/stabler — state commits stop touching the
+    # BlockManager, whose accumulated block+broadcast bookkeeping was
+    # the source of 30-100s escalating per-wave stalls.
+    ck_dir = "/tmp/crawlspark_bench_ck"
+    shutil.rmtree(ck_dir, ignore_errors=True)
     opts = Options(
         crawl_delay_ms=100,
         same_host_only=False,
         max_waves=BENCH_WAVES,
         collect_logs=False,  # throughput mode: counters stay exact
         parallel_checkpoints=True,  # overlap end-of-wave commits + stats
+        checkpoint_dir=ck_dir,
     )
     eng = CrawlEngine(spark, pages, opts)
     t0 = time.perf_counter()
@@ -155,16 +170,20 @@ def _crawl_once(spark, pages_path: str) -> dict:
     # free this run's pages cache so repeated reps don't stack copies
     pages.pages.unpersist()
     pages.robots_pages.unpersist()
-    # ... and every surviving block (localCheckpoint state, persisted wave
-    # caches): with the periodic-GC cleaner deliberately slow (see
-    # session.py), a rep would otherwise run against the previous rep's
-    # multi-GB block residue and measure memory pressure, not the engine
+    # ... and every surviving block (persisted wave caches), then force
+    # one driver GC at this idle point: the ContextCleaner only releases
+    # shuffle files and per-wave broadcasts when their references are
+    # collected, and with the periodic cleaner deliberately slow (see
+    # session.py) that residue otherwise accumulates monotonically and
+    # each rep measures the previous reps' garbage, not the engine.
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jid in jmap.keySet().toArray():
         try:
             jmap.get(jid).unpersist(True)
         except Exception:
             pass
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     return {
         "seconds": dt,
         "fetches": res.counters.fetch,
@@ -224,32 +243,61 @@ def _crawl_level_subprocess(cores: int) -> dict:
     )
 
 
-def main() -> None:
-    if "--crawl-level" in sys.argv:
-        cores = int(sys.argv[sys.argv.index("--crawl-level") + 1])
-        print("LEVEL_JSON " + json.dumps(_crawl_level(cores)), flush=True)
-        return
-
+def _queries_phase() -> dict[str, float]:
+    """Time every queries() entry at full CPUS; runs in a child process
+    so the parent never hosts a JVM (a stopped-but-alive 24 GB gateway
+    JVM in the parent measurably perturbs later crawl levels)."""
     import __spark_entry__ as entry_mod
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    queries: dict[str, float] = {}
-
-    # --- phase A: scaling run at low parallelism ------------------------
-    crawl_low = _crawl_level_subprocess(LOW_CORES)
-
-    # --- phase B: operator queries at full CPUS -------------------------
     _pin_cpus(None)
     spark = _session(CPUS, CPUS)
+    queries: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.count()
         queries[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
+    return queries
 
-    # --- phase C: scaling run at high parallelism (fresh JVM) -----------
+
+def _queries_phase_subprocess() -> dict[str, float]:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--queries"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("QUERIES_JSON "):
+            return json.loads(line[len("QUERIES_JSON "):])
+    raise RuntimeError(
+        f"queries phase failed (rc={proc.returncode}): {proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if "--crawl-level" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--crawl-level") + 1])
+        print("LEVEL_JSON " + json.dumps(_crawl_level(cores)), flush=True)
+        return
+    if "--queries" in sys.argv:
+        print("QUERIES_JSON " + json.dumps(_queries_phase()), flush=True)
+        return
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # The two scaling levels run FIRST and back-to-back, each in its own
+    # child process (fresh JVM + fresh Python driver + its own CPU
+    # affinity), so both see the host in the same state — an earlier
+    # layout that ran the 32-core queries phase in between measured a
+    # 3x-slower high level purely from the parent's leftover JVM.
+    crawl_low = _crawl_level_subprocess(LOW_CORES)
     crawl_high = _crawl_level_subprocess(HIGH_CORES)
+
+    queries = _queries_phase_subprocess()
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
 
     ratio = HIGH_CORES / LOW_CORES

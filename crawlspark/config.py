@@ -134,6 +134,12 @@ class Options:
     # URLs anyway", and the skew bound on the per-host serial dimension
     max_urls_per_host_per_wave: int = 0
     use_bloom_seen: bool = False  # Bloom pre-filter before the seen join
+    # hot-host salted sequencing (SURVEY §4 P11): exact per-host
+    # seq/cumsum via range-bucketed two-phase ranking instead of a
+    # single-partition host window; bit-identical results, 2 extra tiny
+    # shuffles — turn on for skewed frontiers, off for small parity runs
+    salt_hot_hosts: bool = False
+    salt_buckets: int = 0  # 0 → defaultParallelism * 2
     bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000
     bloom_fpp: float = 0.01

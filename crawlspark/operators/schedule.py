@@ -42,9 +42,8 @@ def politeness_schedule(
     Everything is window arithmetic over the host partition — one
     shuffle by host, no UDFs, whole-stage codegen throughout.
     """
-    w = Window.partitionBy("host").orderBy(
-        *[F.col(c) for c in ORD_COLS], F.col("fetch_rank")
-    )
+    ord_all = ORD_COLS + ["fetch_rank"]
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ord_all])
     # NOTE on ordering: robots (rank 0) sorts before pages; a HEAD and
     # its GET share ORD_COLS, and (rank==2) sorts the GET directly
     # after its HEAD, matching the reference's HEAD→GET sequence
@@ -53,13 +52,37 @@ def politeness_schedule(
     df = batch.withColumn(
         "opts_delay_ms", F.lit(opts.crawl_delay_ms).cast("bigint")
     )
-    df = df.withColumn("seq_in_wave", F.row_number().over(w))
 
     default_delay = F.coalesce(
         F.when(F.col("robots_delay_ms") > 0, F.col("robots_delay_ms")),
         F.col("opts_delay_ms"),
     ).cast("bigint")
 
+    if compute_delay is None and opts.salt_hot_hosts:
+        # hot-host salted path (SURVEY §4 P11): delay needs no window
+        # here, so seq + exclusive cumsum come from the fused range-
+        # bucketed two-phase ranking — bit-identical results, no
+        # single-partition host group.  The lag-based custom
+        # compute_delay hook is a parity feature and keeps the plain
+        # window below.
+        from crawlspark.operators.skew import host_seq_cumsum_skewproof
+
+        df = df.withColumn("delay_ms", default_delay)
+        df = host_seq_cumsum_skewproof(
+            df,
+            value_col="delay_ms",
+            ord_cols=ord_all,
+            num_buckets=opts.salt_buckets or None,
+            seq_col="seq_in_wave",
+            cumsum_col="_cum_excl",
+        )
+        return df.withColumn(
+            "sched_ms",
+            F.coalesce(F.col("next_free_ms"), F.lit(0)).cast("bigint")
+            + F.col("_cum_excl"),
+        ).drop("_cum_excl")
+
+    df = df.withColumn("seq_in_wave", F.row_number().over(w))
     if compute_delay is not None:
         df = df.withColumn(
             "last_delay_ms", F.lag(default_delay).over(w)

@@ -1,0 +1,176 @@
+"""Hot-host skew mitigation: salted-key per-host sequencing.
+
+The reference runs one goroutine per host (worker.go:49-105), so a host
+with 10^6 pending URLs is inherently serial there — and naively mapping
+"one ordered group per host" onto ``Window.partitionBy('host')`` keeps
+that serialization: the whole hot host lands in ONE task while every
+other core idles (SURVEY §4 P11).
+
+This module computes the exact same per-host FIFO sequence and
+politeness cumsum *without* ever materializing a host inside a single
+partition, via the classic two-phase distributed ranking:
+
+1. ``repartitionByRange(host, ord...)`` — the range partitioner splits
+   a hot host across many consecutive partitions by its ordering tuple
+   (the "salt" is the range-bucket id, monotone in the sort order, so
+   concatenating buckets preserves the global per-host order — unlike a
+   random ``pmod(xxhash64(url), k)`` salt, which balances load but
+   scrambles FIFO order).
+2. local ``row_number``/cumsum per (bucket, host) — the window key now
+   includes the bucket id, so no window group exceeds a partition range.
+3. exact offset correction: per-(bucket, host) counts/sums are a tiny
+   aggregate (≤ buckets + hosts-that-straddle rows); an exclusive cumsum
+   over the bucket index per host turns local ranks into global ones.
+
+Politeness semantics are untouched: the schedule is still a per-host
+cumulative sum over the un-salted host (SURVEY §2.5) — only the
+*shuffle* is salted.  Results are bit-identical to the plain
+``Window.partitionBy('host')`` formulation (tests/test_skew.py), which
+stays the default for small parity crawls where two extra tiny shuffles
+cost more than they save.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def host_seq_skewproof(
+    df: DataFrame,
+    ord_cols: list[str],
+    host_col: str = "host",
+    num_buckets: int | None = None,
+    seq_col: str = "_rn_host",
+) -> DataFrame:
+    """Exact per-host ``row_number`` ordered by ``ord_cols`` with no
+    single-partition hot-host group.  Adds ``seq_col`` (1-based)."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism * 2
+    ordering = [F.col(host_col)] + [F.col(c) for c in ord_cols]
+    ranged = df.repartitionByRange(n, *ordering).withColumn(
+        "_bkt", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_bkt", host_col).orderBy(
+        *[F.col(c) for c in ord_cols]
+    )
+    ranked = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+
+    counts = ranked.groupBy("_bkt", host_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_bkt", host_col, "_off")
+
+    return (
+        ranked.join(F.broadcast(offsets), on=["_bkt", host_col])
+        .withColumn(seq_col, (F.col("_off") + F.col("_local_rn")).cast("int"))
+        .drop("_bkt", "_local_rn", "_off")
+    )
+
+
+def host_seq_cumsum_skewproof(
+    df: DataFrame,
+    value_col: str,
+    ord_cols: list[str],
+    host_col: str = "host",
+    num_buckets: int | None = None,
+    seq_col: str = "seq_in_wave",
+    cumsum_col: str = "_cum_excl",
+) -> DataFrame:
+    """Fused exact per-host ``row_number`` AND exclusive cumsum of
+    ``value_col`` over the same ordering, sharing ONE range shuffle —
+    the politeness schedule needs both (seq + virtual-time offset) and
+    ``value_col`` must already be a materialized column."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism * 2
+    ordering = [F.col(host_col)] + [F.col(c) for c in ord_cols]
+    ranged = df.repartitionByRange(n, *ordering).withColumn(
+        "_bkt", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_bkt", host_col).orderBy(
+        *[F.col(c) for c in ord_cols]
+    )
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    local = local.withColumn(
+        "_local_sum",
+        F.coalesce(
+            F.sum(F.col(value_col)).over(
+                w_local.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    agg = local.groupBy("_bkt", host_col).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum(F.col(value_col)).alias("_s")
+    )
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        agg.withColumn("_off_n", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        .withColumn("_off_s", F.coalesce(F.sum("_s").over(w_off), F.lit(0)))
+        .select("_bkt", host_col, "_off_n", "_off_s")
+    )
+
+    return (
+        local.join(F.broadcast(offsets), on=["_bkt", host_col])
+        .withColumn(seq_col, (F.col("_off_n") + F.col("_local_rn")).cast("int"))
+        .withColumn(cumsum_col, F.col("_off_s") + F.col("_local_sum"))
+        .drop("_bkt", "_local_rn", "_local_sum", "_off_n", "_off_s")
+    )
+
+
+def host_cumsum_skewproof(
+    df: DataFrame,
+    value_col: str,
+    ord_cols: list[str],
+    host_col: str = "host",
+    num_buckets: int | None = None,
+    out_col: str = "_cumsum_excl",
+) -> DataFrame:
+    """Exact per-host EXCLUSIVE cumulative sum of ``value_col`` ordered
+    by ``ord_cols`` (the politeness virtual-time schedule, SURVEY §2.5)
+    with no single-partition hot-host group."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism * 2
+    ordering = [F.col(host_col)] + [F.col(c) for c in ord_cols]
+    ranged = df.repartitionByRange(n, *ordering).withColumn(
+        "_bkt", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_bkt", host_col)
+        .orderBy(*[F.col(c) for c in ord_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local_sum",
+        F.coalesce(F.sum(F.col(value_col)).over(w_local), F.lit(0)),
+    )
+
+    sums = local.groupBy("_bkt", host_col).agg(
+        F.sum(F.col(value_col)).alias("_s")
+    )
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0))
+    ).select("_bkt", host_col, "_off")
+
+    return (
+        local.join(F.broadcast(offsets), on=["_bkt", host_col])
+        .withColumn(out_col, F.col("_off") + F.col("_local_sum"))
+        .drop("_bkt", "_local_sum", "_off")
+    )

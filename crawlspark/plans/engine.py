@@ -349,6 +349,11 @@ class CrawlEngine:
                     F.lit(True).alias("cached"),
                 )
             )
+            # fan the parse input out: new-host rows compress to ~nothing,
+            # so AQE would coalesce them onto 1-2 partitions and the
+            # robots-parse pandas UDF (the seed wave parses one robots.txt
+            # per host) would run serially no matter the cluster size
+            rob_all = rob_all.repartition(wave_parts, "host")
             parsed = rob_all.withColumn(
                 "_r",
                 self._robots_parse(
@@ -426,8 +431,25 @@ class CrawlEngine:
                     F.lit(opts.head_before_get),
                 ),
             )
-            w_host = Window.partitionBy("host").orderBy(*[F.col(x) for x in ORD_COLS])
-            page_rows = page_rows.withColumn("_rn_host", F.row_number().over(w_host))
+            if opts.salt_hot_hosts:
+                # salted-key skew mitigation (SURVEY §4 P11): a hot host
+                # no longer serializes one window task; FIFO order is
+                # preserved exactly (range buckets are monotone in the
+                # ordering tuple)
+                from crawlspark.operators.skew import host_seq_skewproof
+
+                page_rows = host_seq_skewproof(
+                    page_rows, ORD_COLS,
+                    num_buckets=opts.salt_buckets or None,
+                    seq_col="_rn_host",
+                )
+            else:
+                w_host = Window.partitionBy("host").orderBy(
+                    *[F.col(x) for x in ORD_COLS]
+                )
+                page_rows = page_rows.withColumn(
+                    "_rn_host", F.row_number().over(w_host)
+                )
             page_rows = page_rows.withColumn(
                 "seq", F.coalesce(F.col("last_seq"), F.lit(0)) + F.col("_rn_host")
             )
@@ -734,25 +756,73 @@ class CrawlEngine:
                     .collect()
                 )
 
+            # per-partition lineage metrics (FIXTURES.md §2 metrics table):
+            # committed with every wave in checkpoint mode so a resumed
+            # crawl can audit exactly which partition produced what
+            def _commit_lineage():
+                if not self.opts.checkpoint_dir:
+                    return None
+                lineage = (
+                    adm.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(
+                        F.count(F.lit(1)).alias("count"),
+                        F.sum(F.col("admitted").cast("long")).alias("admitted"),
+                    )
+                    .select(
+                        F.lit(wave).alias("wave"),
+                        F.lit("admission").alias("stage"),
+                        "partition_id",
+                        "count",
+                        F.col("admitted").alias("passed"),
+                    )
+                    .unionByName(
+                        phased.groupBy(
+                            F.spark_partition_id().alias("partition_id")
+                        )
+                        .agg(
+                            F.count(F.lit(1)).alias("count"),
+                            F.sum(
+                                ((F.col("fetch_rank") == 2) & _ok()).cast("long")
+                            ).alias("passed"),
+                        )
+                        .select(
+                            F.lit(wave).alias("wave"),
+                            F.lit("fetch").alias("stage"),
+                            "partition_id",
+                            "count",
+                            "passed",
+                        )
+                    )
+                )
+                lineage.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.opts.checkpoint_dir, f"wave={wave}", "metrics"
+                    )
+                )
+                return None
+
             # ---- checkpoint + advance -----------------------------------
             # The candidates commit runs FIRST: it is the one job that
             # traverses the whole wave (admission → robots gate → fetch →
             # extraction), materializing every persisted cache along the
-            # way.  The remaining commits and the stats aggregation then
-            # only scan warm caches — under ``parallel_checkpoints`` they
-            # overlap as one burst of concurrent cache-only jobs.
+            # way.  The remaining commits, the stats aggregation and the
+            # lineage-metrics commit then only scan warm caches — under
+            # ``parallel_checkpoints`` they overlap as one burst of
+            # concurrent cache-only jobs.
             candidates = self._ckpt(next_candidates, "candidates", wave)
             _t = _tick("ckpt_candidates", _t)
             if opts.parallel_checkpoints:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(3) as pool:
+                with ThreadPoolExecutor(4) as pool:
                     f_stats = pool.submit(_settle_stats)
                     f_seen = pool.submit(self._ckpt, seen_inc_df, "seen_inc", wave)
                     f_host = pool.submit(self._ckpt, host_state, "host_state", wave)
+                    f_lin = pool.submit(_commit_lineage)
                     stats = f_stats.result()
                     seen_inc = f_seen.result()
                     host_state = f_host.result()
+                    f_lin.result()
                 _t = _tick("overlapped_stats+ckpts", _t)
             else:
                 stats = _settle_stats()
@@ -761,6 +831,7 @@ class CrawlEngine:
                 _t = _tick("ckpt_seen_inc", _t)
                 host_state = self._ckpt(host_state, "host_state", wave)
                 _t = _tick("ckpt_host_state", _t)
+                _commit_lineage()
             if _TIMING:
                 print(
                     f"    [parts] adm={adm.rdd.getNumPartitions()} "
@@ -832,48 +903,6 @@ class CrawlEngine:
             c.add_error("fetch", fm["n_fetch_err"] or 0)
             n_filter_wave = a["n_filter"] or 0
             _t = _tick("metrics_read", _t)
-
-            # per-partition lineage metrics (FIXTURES.md §2 metrics table):
-            # committed with every wave in checkpoint mode so a resumed
-            # crawl can audit exactly which partition produced what
-            if self.opts.checkpoint_dir:
-                lineage = (
-                    adm.groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(
-                        F.count(F.lit(1)).alias("count"),
-                        F.sum(F.col("admitted").cast("long")).alias("admitted"),
-                    )
-                    .select(
-                        F.lit(wave).alias("wave"),
-                        F.lit("admission").alias("stage"),
-                        "partition_id",
-                        "count",
-                        F.col("admitted").alias("passed"),
-                    )
-                    .unionByName(
-                        phased.groupBy(
-                            F.spark_partition_id().alias("partition_id")
-                        )
-                        .agg(
-                            F.count(F.lit(1)).alias("count"),
-                            F.sum(
-                                ((F.col("fetch_rank") == 2) & _ok()).cast("long")
-                            ).alias("passed"),
-                        )
-                        .select(
-                            F.lit(wave).alias("wave"),
-                            F.lit("fetch").alias("stage"),
-                            "partition_id",
-                            "count",
-                            "passed",
-                        )
-                    )
-                )
-                lineage.write.mode("overwrite").parquet(
-                    os.path.join(
-                        self.opts.checkpoint_dir, f"wave={wave}", "metrics"
-                    )
-                )
 
             summary = {
                 "wave": wave,

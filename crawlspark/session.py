@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -31,7 +33,10 @@ def get_spark(
         # persistent seen-set anti-join benefits from runtime bloom pruning
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("CRAWLSPARK_DRIVER_MEM", "24g"),
+        )
         # wave state is cut with localCheckpoint; the blocks are freed by
         # the ContextCleaner once the wave's DataFrames are GC'd.  Do NOT
         # make this aggressive: each forced GC floods the single-threaded

@@ -78,6 +78,9 @@ class PagesSource:
                 .sortWithinPartitions("fetch_host", "fetch_path")
                 .persist()
             )
+            self._buckets = n
+        else:
+            self._buckets = buckets
         self.pages = slim
         # tiny dedicated robots table: one fetch join per wave against
         # this instead of the full pages scan
@@ -90,6 +93,17 @@ class PagesSource:
         self, batch: DataFrame, url_col: str, pages: DataFrame, merge: bool = False
     ) -> DataFrame:
         b = _with_fetch_key(batch, url_col)
+        if merge and self._buckets:
+            # align the candidate side to the cached table's bucket layout
+            # with an EXPLICIT numPartitions: AQE never coalesces a
+            # user-specified repartition, so (a) the SMJ lines up 1:1
+            # with the sorted cache (no exchange/sort on the big side),
+            # and (b) everything downstream of the join — the HTML
+            # extraction UDF above all — keeps this parallelism instead
+            # of inheriting an AQE-coalesced 1-2 partitions (candidate
+            # rows compress so well that coalescing-by-bytes collapses
+            # the wave's whole Python stage onto one core).
+            b = b.repartition(self._buckets, "fetch_host", "fetch_path")
         pages_side = pages.select(
             "fetch_host",
             "fetch_path",

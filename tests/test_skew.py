@@ -1,0 +1,131 @@
+"""Hot-host salted sequencing (SURVEY §4 P11): the skew-proof two-phase
+ranking must be BIT-IDENTICAL to the plain host window, on a skewed
+input where one host dwarfs the rest, and the full engine must produce
+the same crawl with the option on and off."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from crawlspark.operators.skew import (
+    host_cumsum_skewproof,
+    host_seq_cumsum_skewproof,
+    host_seq_skewproof,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # host0: 5000 rows (the hot host); hosts 1..50: 20 rows each
+    hot = spark.range(5000).select(
+        F.lit("host0").alias("host"),
+        F.col("id").alias("ord_a"),
+        (F.col("id") % 7).cast("int").alias("ord_b"),
+        ((F.col("id") * 37) % 100 + 1).cast("bigint").alias("delay"),
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("host"), (F.col("id") % 50 + 1)).alias("host"),
+        (F.col("id") / 50).cast("long").alias("ord_a"),
+        (F.col("id") % 3).cast("int").alias("ord_b"),
+        ((F.col("id") * 11) % 50 + 1).cast("bigint").alias("delay"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_seq_matches_plain_window(spark, skewed):
+    w = Window.partitionBy("host").orderBy("ord_a", "ord_b")
+    plain = skewed.withColumn("rn", F.row_number().over(w))
+    salted = host_seq_skewproof(
+        skewed, ["ord_a", "ord_b"], num_buckets=7, seq_col="rn"
+    )
+    key = ["host", "ord_a", "ord_b"]
+    joined = plain.select(*key, F.col("rn").alias("rn_plain")).join(
+        salted.select(*key, F.col("rn").alias("rn_salt")), on=key
+    )
+    assert joined.count() == skewed.count()
+    assert joined.filter(F.col("rn_plain") != F.col("rn_salt")).count() == 0
+
+
+def test_cumsum_matches_plain_window(spark, skewed):
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ord_a", "ord_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plain = skewed.withColumn(
+        "cs", F.coalesce(F.sum("delay").over(w), F.lit(0))
+    )
+    salted = host_cumsum_skewproof(
+        skewed, "delay", ["ord_a", "ord_b"], num_buckets=5, out_col="cs"
+    )
+    key = ["host", "ord_a", "ord_b"]
+    joined = plain.select(*key, F.col("cs").alias("cs_plain")).join(
+        salted.select(*key, F.col("cs").alias("cs_salt")), on=key
+    )
+    assert joined.count() == skewed.count()
+    assert joined.filter(F.col("cs_plain") != F.col("cs_salt")).count() == 0
+
+
+def test_fused_matches_plain_window(spark, skewed):
+    w = Window.partitionBy("host").orderBy("ord_a", "ord_b")
+    plain = skewed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cs",
+        F.coalesce(
+            F.sum("delay").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    fused = host_seq_cumsum_skewproof(
+        skewed, "delay", ["ord_a", "ord_b"], num_buckets=6,
+        seq_col="rn", cumsum_col="cs",
+    )
+    key = ["host", "ord_a", "ord_b"]
+    joined = plain.select(
+        *key, F.col("rn").alias("rn_p"), F.col("cs").alias("cs_p")
+    ).join(
+        fused.select(
+            *key, F.col("rn").alias("rn_s"), F.col("cs").alias("cs_s")
+        ),
+        on=key,
+    )
+    assert joined.count() == skewed.count()
+    assert (
+        joined.filter(
+            (F.col("rn_p") != F.col("rn_s")) | (F.col("cs_p") != F.col("cs_s"))
+        ).count()
+        == 0
+    )
+
+
+def test_engine_parity_salted_vs_plain(spark):
+    """Same crawl (visit order, schedule, counters) with salting on/off."""
+    from crawlspark.config import Options
+    from crawlspark.fixtures import fixture_pages_df
+    from crawlspark.plans.engine import CrawlEngine
+    from crawlspark.sources.pages import PagesSource
+
+    pages_df = fixture_pages_df(spark)
+
+    def run(salt: bool):
+        pages = PagesSource(pages_df, versioned=False)
+        opts = Options(
+            crawl_delay_ms=100, same_host_only=False, salt_hot_hosts=salt
+        )
+        res = CrawlEngine(spark, pages, opts).run(
+            ["http://hosta/page1.html", "http://hostb/page1.html"]
+        )
+        log = [
+            (r["url_norm"], r["host"], r["wave"], r["seq"])
+            for r in res.visit_log.orderBy("host", "wave", "seq").collect()
+        ]
+        sched = sorted(
+            (r["url_norm"], r["seq"], r["sched_ms"])
+            for r in res.fetch_log.collect()
+        )
+        return res.counters, log, sched
+
+    c_plain, log_plain, sched_plain = run(False)
+    c_salt, log_salt, sched_salt = run(True)
+    assert log_plain == log_salt
+    assert sched_plain == sched_salt
+    assert vars(c_plain) == vars(c_salt)
