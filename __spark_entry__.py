@@ -47,6 +47,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delay_ms"
         ),
     )
+    # small parquet inputs arrive as ONE split; fan rows out before the
+    # canonicalize UDF so it uses every core (explicit numPartitions is
+    # exempt from AQE re-coalescing)
+    raw = raw.repartition(spark.sparkContext.defaultParallelism)
     c = raw.withColumn("_c", canon(F.col("url"))).select(
         "event_id", "ts", "delay_ms",
         F.col("_c.url_norm").alias("url_norm"),
