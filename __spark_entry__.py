@@ -400,6 +400,33 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
 """
 
 
+def _srp_bucket_sql(q: str, planes: int) -> str:
+    """DuckDB replay of operators/similarity.srp_bucket: plane p's ±1
+    sign for 0-based dim i is bit (16+p) of the Knuth multiplicative
+    hash of i; bucket = Σ_p (proj_p > 0) << p.  Spark's bigint cast of
+    the double division truncates; all operands are positive so
+    floor() reproduces it exactly."""
+    bits = []
+    for p in range(planes):
+        shift = 1 << (16 + p)
+        proj = (
+            f"list_sum(list_transform(range(1, len({q})+1), j -> "
+            f"CASE WHEN CAST(floor(((j-1)*2654435761)/{shift}.0) AS BIGINT)"
+            f" % 2 = 0 THEN {q}[j] ELSE -{q}[j] END))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_QUANT_E = """
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings
+)
+"""
+
+
 _STOP_SQL = " + ".join(
     f"len(regexp_extract_all(text, '\\b{wrd}\\b'))"
     for wrd in ["the", "and", "of", "to", "in"]
@@ -558,12 +585,7 @@ FROM ex JOIN qx ON ex.p = qx.p
 GROUP BY ex.vec_id
 ORDER BY dot_q DESC, vec_id LIMIT 20
 """,
-        "embedding_near_dup": """
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-  FROM embeddings
-),
+        "embedding_near_dup": "WITH " + _QUANT_E + """,
 n AS (
   SELECT vec_id, q,
          CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
@@ -579,8 +601,33 @@ p AS (
 SELECT a_id, b_id, dot FROM p
 WHERE dot > 0 AND dot*dot*10000 >= 900 * na2 * nb2
 """,
-        # embedding_ann_bucketed / embedding_near_dup_lsh: intentionally
-        # no oracle (LSH bucket membership is engine-defined; the LSH
-        # near-dup result is a recall-tunable subset of
-        # embedding_near_dup) → driver rows-only check
+        "embedding_near_dup_lsh": "WITH " + _QUANT_E + f""",
+n AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2,
+         {_srp_bucket_sql('q', 4)} AS bucket
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_sum(list_transform(range(1, len(a.q)+1),
+              i -> a.q[i]*b.q[i])) AS BIGINT) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, dot FROM p
+WHERE dot > 0 AND dot*dot*10000 >= 900 * na2 * nb2
+""",
+        "embedding_ann_bucketed": "WITH " + _QUANT_E + f""",
+n AS (
+  SELECT vec_id, q, {_srp_bucket_sql('q', 8)} AS bucket FROM e
+),
+qq AS (SELECT q, bucket FROM n WHERE vec_id = 0)
+SELECT n.vec_id,
+       CAST(list_sum(list_transform(range(1, len(n.q)+1),
+            j -> n.q[j]*qq.q[j])) AS BIGINT) AS dot_q
+FROM n, qq
+WHERE n.bucket = qq.bucket
+ORDER BY dot_q DESC, n.vec_id LIMIT 10
+""",
     }

@@ -42,8 +42,9 @@ def test_all_queries_have_unique_names():
     q = entry_mod.queries()
     assert len(q) >= 20
     missing_oracle = set(q) - set(entry_mod.oracle_sql())
-    # only intentionally non-SQL-expressible ops may omit oracles
-    assert missing_oracle <= {"embedding_ann_bucketed", "embedding_near_dup_lsh"}
+    # every query has a DuckDB oracle (the LSH/ANN bucket arithmetic is
+    # replayed in SQL by _srp_bucket_sql)
+    assert missing_oracle == set()
 
 
 def test_near_dup_lsh_subset_of_exact(spark):
