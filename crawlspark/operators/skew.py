@@ -28,12 +28,30 @@ cumulative sum over the un-salted host (SURVEY §2.5) — only the
 ``Window.partitionBy('host')`` formulation (tests/test_skew.py), which
 stays the default for small parity crawls where two extra tiny shuffles
 cost more than they save.
+
+CORRECTNESS NOTE — the bucket assignment is MATERIALIZED (eager
+localCheckpoint) before use: ``repartitionByRange`` *samples* the data
+to pick boundaries, so re-evaluating the same lineage can yield
+different ``spark_partition_id`` buckets — and the offset join plus
+every downstream job must all see ONE consistent assignment (without
+the cut, an A/B crawl run measurably dropped rows: the counts
+aggregate and the final join each triggered their own sampling pass).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ranged_buckets(df: DataFrame, ordering, n: int) -> DataFrame:
+    """Range-partition by the ordering tuple and PIN the resulting
+    bucket ids by materializing them (see CORRECTNESS NOTE above)."""
+    return (
+        df.repartitionByRange(n, *ordering)
+        .withColumn("_bkt", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
 
 def host_seq_skewproof(
@@ -48,9 +66,7 @@ def host_seq_skewproof(
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism * 2
     ordering = [F.col(host_col)] + [F.col(c) for c in ord_cols]
-    ranged = df.repartitionByRange(n, *ordering).withColumn(
-        "_bkt", F.spark_partition_id()
-    )
+    ranged = _ranged_buckets(df, ordering, n)
     w_local = Window.partitionBy("_bkt", host_col).orderBy(
         *[F.col(c) for c in ord_cols]
     )
@@ -91,9 +107,7 @@ def host_seq_cumsum_skewproof(
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism * 2
     ordering = [F.col(host_col)] + [F.col(c) for c in ord_cols]
-    ranged = df.repartitionByRange(n, *ordering).withColumn(
-        "_bkt", F.spark_partition_id()
-    )
+    ranged = _ranged_buckets(df, ordering, n)
     w_local = Window.partitionBy("_bkt", host_col).orderBy(
         *[F.col(c) for c in ord_cols]
     )
@@ -144,9 +158,7 @@ def host_cumsum_skewproof(
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism * 2
     ordering = [F.col(host_col)] + [F.col(c) for c in ord_cols]
-    ranged = df.repartitionByRange(n, *ordering).withColumn(
-        "_bkt", F.spark_partition_id()
-    )
+    ranged = _ranged_buckets(df, ordering, n)
     w_local = (
         Window.partitionBy("_bkt", host_col)
         .orderBy(*[F.col(c) for c in ord_cols])
