@@ -132,10 +132,26 @@ def admit_candidates(
     admit_if_unvisited = _filter(F.lit(False)) & policies
     admit_if_visited = _filter(F.lit(True)) & policies
 
-    grp = Window.partitionBy("url_norm")
-    first_admit_ord = F.min(
-        F.when(admit_if_unvisited & ~seen_flag & ~F.col("is_robots"), _ord_rank())
-    ).over(grp)
+    first_admit_expr = F.when(
+        admit_if_unvisited & ~seen_flag & ~F.col("is_robots"), _ord_rank()
+    )
+    if opts.salt_hot_hosts:
+        # skew-hardened formulation: a URL linked from 10^6+ pages in one
+        # wave puts all its duplicate candidates into ONE window
+        # partition (WindowExec has no partial aggregation).  groupBy
+        # gets map-side combine — duplicates collapse to one row per map
+        # partition before the shuffle — and the join back on url_norm
+        # is AQE-skew-splittable.  Same result as the window min.
+        mins = (
+            df.withColumn("_fa", first_admit_expr)
+            .groupBy("url_norm")
+            .agg(F.min("_fa").alias("_first_admit_ord"))
+        )
+        df = df.join(mins, on="url_norm", how="left")
+        first_admit_ord = F.col("_first_admit_ord")
+    else:
+        grp = Window.partitionBy("url_norm")
+        first_admit_ord = F.min(first_admit_expr).over(grp)
 
     is_visited = seen_flag | (
         first_admit_ord.isNotNull() & (_ord_rank() > first_admit_ord)
@@ -152,5 +168,5 @@ def admit_candidates(
         .withColumn("counts_filter", ~F.col("is_robots") & F.col("url_norm").isNotNull())
         .withColumn("admitted", admitted)
         .withColumn("robots_bypass", F.col("is_robots"))
-        .drop("_seen", "_is_seed_host")
+        .drop("_seen", "_is_seed_host", "_first_admit_ord")
     )

@@ -209,10 +209,16 @@ class CrawlEngine:
             c.start = 1
 
         if isinstance(seeds, DataFrame):
+            # a DataFrame seed set has no inherent order (a reference
+            # seed LIST goes through the list path below, which keeps
+            # list order).  ord_seq must only be a DETERMINISTIC total
+            # order so "same seed set → same crawl ordering" holds
+            # (north rule) — xxhash64(url) is a pure per-row function:
+            # no global sort, no window, no shuffle.  (The earlier
+            # Window.orderBy(url) formulation was a single-partition
+            # global sort — serial no matter the cluster size.)
             sd = seeds_df(self.spark, seeds)
-            w = Window.orderBy(F.col("url"))
-            cand = sd.withColumn("ord_seq", F.row_number().over(w).cast("bigint"))
-            candidates = cand.select(
+            candidates = sd.select(
                 "url",
                 F.lit(None).cast("string").alias("src_url_norm"),
                 F.lit(None).cast("string").alias("src_host"),
@@ -220,23 +226,33 @@ class CrawlEngine:
                 F.lit(None).cast("boolean").alias("head_before_get"),
                 F.lit(0).alias("ord_wave"),
                 F.lit("").alias("ord_host"),
-                "ord_seq",
+                F.xxhash64(F.col("url")).alias("ord_seq"),
                 F.lit(0).alias("ord_pos"),
             )
         else:
             candidates = self._seed_candidates(seeds)
-        candidates = candidates.localCheckpoint(eager=True)
+        candidates = self._ckpt(candidates, "seed_candidates", -1)
 
         # seed hosts (crawler.go:80-86): normalized hosts of ALL seeds,
         # before any policy filtering
-        seed_hosts = (
+        seed_hosts = self._ckpt(
             candidates.withColumn("_c", self._canon(F.col("url")))
             .select(F.col("_c.host").alias("seed_host"))
             .filter(F.col("seed_host").isNotNull() & (F.col("seed_host") != ""))
-            .distinct()
-        ).localCheckpoint(eager=True)
-        n_seeds = candidates.count()
-        n_seed_hosts = seed_hosts.count()
+            .distinct(),
+            "seed_hosts",
+            -1,
+        )
+        if opts.parallel_checkpoints:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                f_ns = pool.submit(candidates.count)
+                f_nh = pool.submit(seed_hosts.count)
+                n_seeds, n_seed_hosts = f_ns.result(), f_nh.result()
+        else:
+            n_seeds = candidates.count()
+            n_seed_hosts = seed_hosts.count()
         _t0 = _tick("seed_setup", _t0)
 
         deferred = self._empty(DEFER_DDL)
