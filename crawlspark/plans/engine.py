@@ -147,7 +147,11 @@ class CrawlEngine:
 
     def _ckpt(self, df: DataFrame, name: str, wave: int) -> DataFrame:
         if self.opts.checkpoint_dir:
-            path = os.path.join(self.opts.checkpoint_dir, f"wave={wave}", name)
+            # seed-stage state (wave < 0) lives under seed/, outside the
+            # wave=* namespace: every wave=* dir carries a metrics table
+            # (per-partition lineage contract), which seed setup has none of
+            subdir = f"wave={wave}" if wave >= 0 else "seed"
+            path = os.path.join(self.opts.checkpoint_dir, subdir, name)
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
