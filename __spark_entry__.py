@@ -258,6 +258,14 @@ def _q_ngram_jaccard(spark, sf):
     return ngram_jaccard(_t(spark, sf, "documents"))
 
 
+def _q_dedup_pipeline(spark, sf):
+    # shingle+signature pass computed ONCE, shared by LSH banding and
+    # the exact Jaccard verifier (vs 3x recompute as separate queries)
+    from crawlspark.operators.textops import dedup_pipeline
+
+    return dedup_pipeline(_t(spark, sf, "documents"))
+
+
 def _q_simhash(spark, sf):
     from crawlspark.operators.textops import simhash16
 
@@ -305,9 +313,11 @@ def _q_embedding_ann_bucketed(spark, sf):
 
 
 def _q_embedding_near_dup(spark, sf):
-    from crawlspark.operators.similarity import cosine_near_dup
+    # exact all-pairs via block matmul (NumPy int64 in applyInPandas) —
+    # same integer semantics as the naive zip_with form, ~10x cheaper
+    from crawlspark.operators.similarity import cosine_near_dup_block
 
-    return cosine_near_dup(_t(spark, sf, "embeddings"), threshold_e2=30)
+    return cosine_near_dup_block(_t(spark, sf, "embeddings"), threshold_e2=30)
 
 
 def _q_embedding_near_dup_lsh(spark, sf):
@@ -336,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_pipeline": _q_dedup_pipeline,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -542,6 +553,25 @@ inter AS (
 SELECT i.a_id, i.b_id,
        CAST(floor(10000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_e4
 FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+""",
+        "dedup_pipeline": "WITH " + _SIGS_CTE + """,
+nb AS (SELECT a_id, b_id, COUNT(*) AS n_bands FROM pairs GROUP BY a_id, b_id),
+p2 AS (SELECT DISTINCT a_id, b_id FROM pairs),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT p2.a_id, p2.b_id, COUNT(*) AS n_common
+  FROM p2
+  JOIN dsh a ON a.doc_id = p2.a_id
+  JOIN dsh b ON b.doc_id = p2.b_id AND b.shingle = a.shingle
+  GROUP BY p2.a_id, p2.b_id
+)
+SELECT i.a_id, i.b_id, nb.n_bands,
+       CAST(floor(10000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_e4
+FROM inter i
+JOIN nb ON nb.a_id = i.a_id AND nb.b_id = i.b_id
 JOIN sizes sa ON sa.doc_id = i.a_id
 JOIN sizes sb ON sb.doc_id = i.b_id
 """,

@@ -23,13 +23,15 @@ shuffle microbenchmarks), which no multi-executor deployment shares —
 production executors are 4–8 cores each and scale across JVMs.
 BASELINE.md records the full curve and the work/latency decomposition.
 
-Measurement protocol per level (BASELINE.md "Sandbox evidence
-protocol"): OS-CPU affinity pinned to exactly that many cores (local[N]
-caps only task slots — GC/shuffle/Python workers would otherwise use
-every host core and inflate the low level), one small untimed warmup
-crawl (JIT/codegen warm), then min of SPARK_GRAFT_BENCH_REPS timed runs
-(the sandbox host carries unpredictable external load; min is the
-standard noise-robust estimator).
+Measurement protocol (BASELINE.md "Sandbox evidence protocol"):
+SPARK_GRAFT_BENCH_REPS rep PAIRS, interleaved low,high,low,high,...;
+each rep is its own child process pinned to the N most-IDLE OS CPUs
+(local[N] caps only task slots — GC/shuffle/Python workers would
+otherwise use every host core and inflate the low level; first-N
+pinning collides with co-tenants doing the same), with a delivered-
+parallelism calibration probe recorded per rep, one small untimed
+warmup crawl (JIT/codegen warm), then one timed run.  Min per level is
+the noise-robust estimator; per-rep walls + calibrations are reported.
 """
 
 from __future__ import annotations
@@ -58,22 +60,109 @@ CACHE = os.environ.get(
 )
 
 
-def _pin_cpus(n: int | None) -> None:
+def _idle_cpus(n: int, sample_sec: float = 0.25) -> list[int]:
+    """Rank OS CPUs by measured idle fraction over a short /proc/stat
+    sample and return the ``n`` most-idle ones.
+
+    Pinning to the FIRST n CPUs is a trap on a shared host: every
+    co-tenant doing the same lands on cpu0..cpuN and the levels contend
+    with each other while the rest of the machine sits idle (this is
+    the leading explanation for an observed official run where the
+    8-core level ran exactly as slow as the 2-core level).  Idle-ranked
+    selection spreads tenants and measures the cores that are actually
+    deliverable."""
+    def snap() -> dict[int, tuple[int, int]]:
+        out = {}
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu") and line[3].isdigit():
+                    parts = line.split()
+                    cid = int(parts[0][3:])
+                    vals = [int(x) for x in parts[1:]]
+                    idle = vals[3] + vals[4]  # idle + iowait
+                    out[cid] = (idle, sum(vals))
+        return out
+
+    try:
+        a = snap()
+        time.sleep(sample_sec)
+        b = snap()
+        frac = {
+            c: (b[c][0] - a[c][0]) / max(1, b[c][1] - a[c][1]) for c in b
+        }
+        avail = sorted(os.sched_getaffinity(0))
+        ranked = sorted(avail, key=lambda c: (-frac.get(c, 0.0), c))
+        return ranked[:n]
+    except (OSError, KeyError, IndexError):
+        return list(range(min(n, os.cpu_count() or 1)))
+
+
+def _pin_cpus(n) -> list[int] | None:
     """Pin this process (and the JVM/Python workers it spawns — affinity
-    is inherited) to the first ``n`` OS CPUs.
+    is inherited) to ``n`` OS CPUs chosen by measured idleness (or to an
+    explicit CPU list).
 
     local[N] only caps Spark TASK slots; GC, shuffle IO, netty and the
     Arrow/Python workers otherwise still use every host core, which
     inflates low-parallelism throughput and understates scaling
     efficiency.  Pinning makes "a 2-core cluster vs an 8-core cluster"
-    a faithful emulation.  None → unpin (all CPUs).
-    """
+    a faithful emulation.  None → unpin (all CPUs)."""
     try:
         total = os.cpu_count() or 1
-        cpus = range(total) if n is None else range(min(n, total))
+        if n is None:
+            cpus = list(range(total))
+        elif isinstance(n, int):
+            cpus = _idle_cpus(min(n, total))
+        else:
+            cpus = list(n)
         os.sched_setaffinity(0, set(cpus))
+        return cpus
     except (AttributeError, OSError):
-        pass  # non-Linux or restricted: best effort
+        return None  # non-Linux or restricted: best effort
+
+
+def _calibrate(cpus: list[int] | None, per_proc_sec: float = 0.3) -> float:
+    """Measure the parallelism this host actually DELIVERS on the pinned
+    CPU set right now: spin one busy-loop process per pinned CPU and
+    report (total work done) / (single-process baseline).
+
+    A healthy n-CPU set returns ≈n.  If co-tenant load or a cgroup CPU
+    quota caps the set, the number shows it — honest evidence attached
+    to every scaling level so a flat scaling curve is attributable."""
+    import multiprocessing as mp
+
+    def spin(cpu: int, dur: float, out) -> None:
+        try:
+            os.sched_setaffinity(0, {cpu})
+        except OSError:
+            pass
+        t0 = time.perf_counter()
+        k = 0
+        x = 1.0001
+        while time.perf_counter() - t0 < dur:
+            for _ in range(20000):
+                x = x * 1.0000001 % 7.3
+            k += 1
+        out.put(k)
+
+    if not cpus:
+        return 0.0
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    # single-process baseline
+    p = ctx.Process(target=spin, args=(cpus[0], per_proc_sec, q))
+    p.start()
+    p.join()
+    base = q.get()
+    procs = [
+        ctx.Process(target=spin, args=(c, per_proc_sec, q)) for c in cpus
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    total = sum(q.get() for _ in procs)
+    return round(total / max(1, base), 2)
 
 
 def _session(cores: int, shuffle: int):
@@ -194,11 +283,13 @@ def _crawl_once(spark, pages_path: str) -> dict:
     }
 
 
-def _crawl_level(cores: int) -> dict:
-    """One scaling level: pin OS CPUs, fresh JVM, small warmup crawl
-    (JIT/codegen/Arrow-path warm), then min-of-REPS measured runs."""
+def _crawl_rep(cores: int) -> dict:
+    """One scaling rep: pin to the ``cores`` most-idle OS CPUs, measure
+    delivered parallelism, fresh JVM, small warmup crawl (JIT/codegen/
+    Arrow-path warm), then ONE measured run."""
     global BENCH_SEEDS, BENCH_WAVES
-    _pin_cpus(cores)
+    cpus = _pin_cpus(cores)
+    delivered = _calibrate(cpus)
     spark = _session(cores, cores)
     pages_path = _ensure_pages(spark)
     real_seeds, real_waves = BENCH_SEEDS, BENCH_WAVES
@@ -207,29 +298,39 @@ def _crawl_level(cores: int) -> dict:
         _crawl_once(spark, pages_path)  # warmup, untimed
     finally:
         BENCH_SEEDS, BENCH_WAVES = real_seeds, real_waves
-    best = min(
-        (_crawl_once(spark, pages_path) for _ in range(REPS)),
-        key=lambda r: r["seconds"],
-    )
+    rep = _crawl_once(spark, pages_path)
+    rep["delivered_parallelism"] = delivered
+    rep["cpus"] = cpus
     spark.stop()
     _pin_cpus(None)
+    return rep
+
+
+def _crawl_level(cores: int) -> dict:
+    """Back-compat single-process level (warmup + min of REPS) for
+    diagnostics like scripts/stage_profile.py."""
+    best = None
+    for _ in range(REPS):
+        rep = _crawl_rep(cores)
+        if best is None or rep["seconds"] < best["seconds"]:
+            best = rep
     return best
 
 
-def _crawl_level_subprocess(cores: int) -> dict:
-    """Run one scaling level in a CHILD python process.
+def _crawl_rep_subprocess(cores: int) -> dict:
+    """Run one scaling rep in a CHILD python process.
 
-    A truly fresh JVM *and* Python driver per level: a second
+    A truly fresh JVM *and* Python driver per rep: a second
     SparkContext inside one Python process leaves the first context's
     Python-accumulator server wedged (every task update then fails with
-    "EOF reached before Python server acknowledged" and the level
+    "EOF reached before Python server acknowledged" and the rep
     measures the error path, not the engine).  Process isolation is
     also the faithful emulation of the protocol's "fresh JVM per
     cluster size"."""
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-level", str(cores)],
+        [sys.executable, os.path.abspath(__file__), "--crawl-rep", str(cores)],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -238,7 +339,7 @@ def _crawl_level_subprocess(cores: int) -> dict:
         if line.startswith("LEVEL_JSON "):
             return json.loads(line[len("LEVEL_JSON "):])
     raise RuntimeError(
-        f"crawl level {cores} failed (rc={proc.returncode}): "
+        f"crawl rep {cores} failed (rc={proc.returncode}): "
         f"{proc.stderr[-2000:]}"
     )
 
@@ -251,8 +352,14 @@ def _queries_phase() -> dict[str, float]:
 
     _pin_cpus(None)
     spark = _session(CPUS, CPUS)
+    qmap = entry_mod.queries()
+    # untimed warmup: first query in a fresh session otherwise pays
+    # session/codegen/Arrow startup (~3-5s) on its own clock
+    first = next(iter(qmap.values()), None)
+    if first is not None:
+        first(spark, SF_DIR).count()
     queries: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    for name, fn in qmap.items():
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.count()
@@ -279,9 +386,9 @@ def _queries_phase_subprocess() -> dict[str, float]:
 
 
 def main() -> None:
-    if "--crawl-level" in sys.argv:
-        cores = int(sys.argv[sys.argv.index("--crawl-level") + 1])
-        print("LEVEL_JSON " + json.dumps(_crawl_level(cores)), flush=True)
+    if "--crawl-rep" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--crawl-rep") + 1])
+        print("LEVEL_JSON " + json.dumps(_crawl_rep(cores)), flush=True)
         return
     if "--queries" in sys.argv:
         print("QUERIES_JSON " + json.dumps(_queries_phase()), flush=True)
@@ -289,13 +396,22 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # The two scaling levels run FIRST and back-to-back, each in its own
-    # child process (fresh JVM + fresh Python driver + its own CPU
-    # affinity), so both see the host in the same state — an earlier
-    # layout that ran the 32-core queries phase in between measured a
-    # 3x-slower high level purely from the parent's leftover JVM.
-    crawl_low = _crawl_level_subprocess(LOW_CORES)
-    crawl_high = _crawl_level_subprocess(HIGH_CORES)
+    # Scaling reps run FIRST and INTERLEAVED low,high,low,high,... each
+    # in its own child process (fresh JVM + fresh Python driver + its
+    # own idle-ranked CPU affinity).  Interleaving means any window of
+    # external host contention hits both levels instead of silently
+    # flattening whichever level happened to run inside it — an earlier
+    # all-low-then-all-high layout recorded an official run where the
+    # high level was exactly as slow as the low one.  Min per level is
+    # the noise-robust estimator; the per-rep walls and the delivered-
+    # parallelism calibrations are all reported as evidence.
+    low_reps: list[dict] = []
+    high_reps: list[dict] = []
+    for _ in range(REPS):
+        low_reps.append(_crawl_rep_subprocess(LOW_CORES))
+        high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
+    crawl_low = min(low_reps, key=lambda r: r["seconds"])
+    crawl_high = min(high_reps, key=lambda r: r["seconds"])
 
     queries = _queries_phase_subprocess()
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
@@ -334,6 +450,14 @@ def main() -> None:
             "efficiency": round(eff, 3),
             "fitted_parallel_work_cpu_sec": round(w, 1),
             "fitted_fixed_latency_sec": round(lat, 1),
+            "reps_low_sec": [round(r["seconds"], 2) for r in low_reps],
+            "reps_high_sec": [round(r["seconds"], 2) for r in high_reps],
+            "delivered_parallelism_low": [
+                r.get("delivered_parallelism") for r in low_reps
+            ],
+            "delivered_parallelism_high": [
+                r.get("delivered_parallelism") for r in high_reps
+            ],
         },
     }
     print(json.dumps(out))

@@ -134,6 +134,13 @@ class Options:
     # URLs anyway", and the skew bound on the per-host serial dimension
     max_urls_per_host_per_wave: int = 0
     use_bloom_seen: bool = False  # Bloom pre-filter before the seen join
+    # seen-table increment compaction (the Iceberg rewrite/MERGE analog):
+    # the seen set is an append-only list of per-wave increments; probing
+    # it re-plans an O(waves)-way union every wave.  Every N waves the
+    # increments compact into ONE snapshot (parquet in checkpoint mode,
+    # localCheckpoint otherwise) so plan depth and probe cost stay flat
+    # on deep frontiers.  0 = never compact.
+    seen_compact_every: int = 8
     # hot-host salted sequencing (SURVEY §4 P11): exact per-host
     # seq/cumsum via range-bucketed two-phase ranking instead of a
     # single-partition host window; bit-identical results, 2 extra tiny

@@ -51,7 +51,8 @@ def admit_candidates(
     seed_hosts: DataFrame,  # (seed_host)
     opts: Options,
     filter_factory=None,
-    bloom_shards: list | None = None,
+    bloom_df: DataFrame | None = None,
+    pin=None,
 ) -> DataFrame:
     """Annotate candidates with canonical columns + admission verdicts.
 
@@ -79,12 +80,12 @@ def admit_candidates(
     seen_side = seen.select(F.col("url_norm").alias("_seen_url")).withColumn(
         "_seen", F.lit(True)
     )
-    if bloom_shards is not None:
-        from crawlspark.operators.seen import apply_bloom
+    if bloom_df is not None:
+        from crawlspark.operators.seen import apply_bloom_df
 
-        df = apply_bloom(
+        df = apply_bloom_df(
             df,
-            bloom_shards,
+            bloom_df,
             url_col="url_norm",
             num_partitions=opts.bloom_partitions,
             expected_per_partition=opts.bloom_expected_per_partition,
@@ -142,6 +143,13 @@ def admit_candidates(
         # gets map-side combine — duplicates collapse to one row per map
         # partition before the shuffle — and the join back on url_norm
         # is AQE-skew-splittable.  Same result as the window min.
+        #
+        # This forks df (mins + join back): without pinning, the canon
+        # UDF, bloom probe and seen join — the wave's most expensive
+        # admission work — evaluate twice.  ``pin`` (engine-supplied:
+        # persist + wave-end unpersist) materializes the fork point once.
+        if pin is not None:
+            df = pin(df)
         mins = (
             df.withColumn("_fa", first_admit_expr)
             .groupBy("url_norm")

@@ -41,10 +41,17 @@ def bloom_params(expected_n: int, fpp: float) -> tuple[int, int]:
 def _with_hashes(df: DataFrame, url_col: str, num_partitions: int) -> DataFrame:
     h1 = F.xxhash64(F.col(url_col))
     h2 = F.xxhash64(F.col(url_col), F.lit(0x9E3779B9))
+    # pid from a THIRD independent hash: pid = h1 mod P would fix
+    # h1's residue class within a shard, and since the byte-aligned m
+    # shares a factor with P the first double-hash probe (i=0 → pure
+    # h1 mod m) would then only ever touch 1/gcd(P,m) of the bitmap —
+    # insertions and probes alike — quietly inflating that probe's
+    # saturation.  An independent pid keeps all k probes uniform.
+    h3 = F.xxhash64(F.col(url_col), F.lit(0x51ED270B))
     return (
         df.withColumn("_h1", h1)
         .withColumn("_h2", h2)
-        .withColumn("_pid", F.pmod(F.col("_h1"), F.lit(num_partitions)).cast("int"))
+        .withColumn("_pid", F.pmod(h3, F.lit(num_partitions)).cast("int"))
     )
 
 
@@ -145,6 +152,70 @@ def apply_bloom(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     )
     return hashed.mapInPandas(test, schema + ", maybe_seen boolean")
+
+
+def apply_bloom_df(
+    candidates: DataFrame,
+    shards: DataFrame,
+    url_col: str = "url_norm",
+    num_partitions: int = 32,
+    expected_per_partition: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Annotate candidates with ``maybe_seen`` via a co-partitioned
+    cogroup against the ``(pid, bitmap)`` shard TABLE — the 10^10-URL
+    path (vs ``apply_bloom``'s collected-shard-list form).
+
+    The filter never exists as one object anywhere: shards stay
+    distributed rows (the Iceberg-persistable format the wave loop
+    checkpoints), candidates shuffle once on pid, and each cogroup task
+    ORs its pid's shard rows (so unmerged per-wave increments work
+    unchanged) and bit-tests its candidates vectorized in one NumPy
+    pass.  No driver collect, no closure capture, no per-task
+    re-broadcast — at 10^10 URLs / 1% fpp the ~12 GB of bitmap bytes
+    move shuffle-to-shuffle between executors only.
+    """
+    m, k = bloom_params(expected_per_partition, fpp)
+    hashed = _with_hashes(candidates, url_col, num_partitions)
+    cols = candidates.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def probe(key, cand_pdf, shard_pdf):
+        import pandas as pd
+
+        if cand_pdf.empty:
+            out = cand_pdf[cols].copy()
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if shard_pdf.empty:
+            out = cand_pdf[cols].copy()
+            out["maybe_seen"] = False  # no shard → definitely unseen
+            return out
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in shard_pdf["bitmap"]]
+        size = max(a.size for a in arrs)
+        bits = np.zeros(size, dtype=np.uint8)
+        for a in arrs:
+            bits[: a.size] |= a
+        h1 = cand_pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = cand_pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+        mm = np.uint64(bits.size * 8)
+        acc = np.ones(len(cand_pdf), dtype=bool)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % mm).astype(np.int64)
+            byte = bits[idx >> 3]
+            bit = (byte >> (7 - (idx & 7).astype(np.uint8))) & 1
+            acc &= bit.astype(bool)
+        out = cand_pdf[cols].copy()
+        out["maybe_seen"] = acc
+        return out
+
+    return (
+        hashed.groupBy("_pid")
+        .cogroup(shards.groupBy("pid"))
+        .applyInPandas(probe, out_schema)
+    )
 
 
 def collect_shards(bloom_df: DataFrame) -> list[tuple[int, bytes]]:

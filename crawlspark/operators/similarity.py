@@ -120,6 +120,98 @@ def cosine_near_dup(
     )
 
 
+def cosine_near_dup_block(
+    emb: DataFrame, threshold_e2: int = 30, num_blocks: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs near-dup via BLOCK MATMUL — same output as
+    :func:`cosine_near_dup`, viable cost.
+
+    The naive form is a broadcast nested loop paying an interpreted
+    64-dim ``zip_with``+``aggregate`` per pair (O(n²) engine-side dots).
+    Here vectors hash into ``num_blocks`` blocks; each row is replicated
+    to its block's pairings (n·(B+1) tiny rows through one shuffle) and
+    each (block_a, block_b) group computes all its dots as ONE NumPy
+    int64 matrix product.  Exactness is preserved: e3-quantized int64
+    arithmetic end-to-end, with an object-dtype (arbitrary-precision)
+    fallback whenever quantized norms are large enough that the
+    ``dot²·10⁴`` / ``t²·|a|²·|b|²`` comparison could exceed int64 —
+    the naive SQL form would silently wrap there (non-ANSI); this form
+    stays correct at any input scale.
+
+    At 10^10 vectors all-pairs is not a thing anyway —
+    :func:`cosine_near_dup_lsh` restricts pairs to SRP buckets; this
+    operator is the exact verifier/re-ranker at corpus-sample scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    t2_e4 = threshold_e2 * threshold_e2
+    q = (
+        emb.select("vec_id", _quantized(F.col(vec_col)).alias("q"))
+        .withColumn("n2", _dot(F.col("q"), F.col("q")))
+        .withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int")
+        )
+    )
+    a_rows = q.select(
+        F.col("blk").alias("ka"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("kb"),
+        F.lit(0).alias("side"),
+        "vec_id", "q", "n2",
+    )
+    b_rows = q.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ka"),
+        F.col("blk").alias("kb"),
+        F.lit(1).alias("side"),
+        "vec_id", "q", "n2",
+    )
+    # a pair (x,y) meets in exactly one group: (blk(x), blk(y)) sorted —
+    # x on the a-side iff its block is the smaller key, so no pair is
+    # ever produced twice and diagonal groups restrict to id order
+    both = a_rows.unionByName(b_rows)
+
+    # int64 safety bound for the exact comparison (see docstring):
+    # |dot| ≤ max(n2) and dot²·10⁴ plus t²·na²·nb² must stay < 2⁶³
+    n2_bound = min(
+        int((2**63 / 1e4) ** 0.5), int((2**63 / max(1, t2_e4)) ** 0.5)
+    )
+
+    def matmul(key, pdf):
+        asub = pdf[pdf["side"] == 0]
+        bsub = pdf[pdf["side"] == 1]
+        if asub.empty or bsub.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "dot": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "dot": "int64"}
+            )
+        A = np.stack(asub["q"].to_numpy()).astype(np.int64)
+        Bm = np.stack(bsub["q"].to_numpy()).astype(np.int64)
+        na2 = asub["n2"].to_numpy(dtype=np.int64)
+        nb2 = bsub["n2"].to_numpy(dtype=np.int64)
+        exact = max(int(na2.max()), int(nb2.max())) > n2_bound
+        if exact:  # arbitrary-precision path: correctness at any scale
+            A, Bm = A.astype(object), Bm.astype(object)
+            na2, nb2 = na2.astype(object), nb2.astype(object)
+        D = A @ Bm.T
+        ok = (D > 0) & (D * D * 10000 >= t2_e4 * np.outer(na2, nb2))
+        ai = asub["vec_id"].to_numpy(dtype=np.int64)
+        bi = bsub["vec_id"].to_numpy(dtype=np.int64)
+        ii, jj = np.nonzero(ok)
+        x, y, d = ai[ii], bi[jj], D[ii, jj].astype(np.int64)
+        keep = x != y
+        if key[0] == key[1]:  # diagonal: both sides are the same rows
+            keep = x < y
+        x, y, d = x[keep], y[keep], d[keep]
+        return pd.DataFrame(
+            {"a_id": np.minimum(x, y), "b_id": np.maximum(x, y), "dot": d}
+        )
+
+    return both.groupBy("ka", "kb").applyInPandas(
+        matmul, "a_id bigint, b_id bigint, dot bigint"
+    )
+
+
 def cosine_near_dup_lsh(
     emb: DataFrame, threshold_e2: int = 30, planes: int = 4,
     vec_col: str = "embedding",

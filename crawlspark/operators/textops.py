@@ -68,15 +68,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", num_hashes: int = 4, bands: int = 2
+    docs: DataFrame | None = None, text_col: str = "text",
+    num_hashes: int = 4, bands: int = 2, sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH near-dup candidate pairs (a_id < b_id, band id).
 
     signature → `bands` bands of `num_hashes/bands` rows → bucket join.
     The band self-join shuffles on the band hash, which is uniform; at
     10^10 docs the join is bucket-local (bucket both sides by band_key).
+
+    Pass precomputed ``sigs`` (from :func:`minhash_signatures`) to avoid
+    re-shingling — the signature pass is the expensive stage and a dedup
+    pipeline shares it across LSH, verification and reporting.
     """
-    sigs = minhash_signatures(docs, text_col, num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, num_hashes)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -106,16 +112,20 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard(
-    docs: DataFrame, pairs: DataFrame | None = None, text_col: str = "text",
-    shingle_n: int = 3,
+    docs: DataFrame | None = None, pairs: DataFrame | None = None,
+    text_col: str = "text", shingle_n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (from LSH by
-    default).  Quantized to e4 integers so the result is engine-exact."""
+    default).  Quantized to e4 integers so the result is engine-exact.
+    ``sh``: pre-exploded DISTINCT (doc_id, shingle) rows to share the
+    shingling stage across a dedup pipeline."""
     if pairs is None:
         pairs = lsh_candidate_pairs(docs, text_col).select("a_id", "b_id").distinct()
-    sh = docs.select(
-        "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
-    ).distinct()
+    if sh is None:
+        sh = docs.select(
+            "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
+        ).distinct()
     a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
     b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -143,6 +153,47 @@ def ngram_jaccard(
                 )
             ).cast("bigint").alias("jaccard_e4"),
         )
+    )
+
+
+def dedup_pipeline(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 4,
+    bands: int = 2, shingle_n: int = 3, persist: bool = True,
+) -> DataFrame:
+    """Full near-dup pipeline sharing one shingling pass: shingles →
+    MinHash signatures → banded-LSH candidate pairs → exact n-gram
+    Jaccard verification, emitting (a_id, b_id, n_bands, jaccard_e4).
+
+    Running the three stages as separate queries re-shingles and
+    re-signs the corpus three times; here the exploded shingle relation
+    and the signature table are computed once (persisted by default) and
+    every stage reads them.  At 100 TB the persist becomes a
+    materialized intermediate table — same dataflow shape.
+    """
+    sh_all = docs.select(
+        "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    if persist:
+        sh_all = sh_all.persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"sig_{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = sh_all.groupBy("doc_id").agg(*aggs)
+    if persist:
+        sigs = sigs.persist()
+    banded_pairs = lsh_candidate_pairs(
+        sigs=sigs, num_hashes=num_hashes, bands=bands
+    )
+    pairs = banded_pairs.select("a_id", "b_id").distinct()
+    n_bands = banded_pairs.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("n_bands")
+    )
+    jac = ngram_jaccard(
+        pairs=pairs, shingle_n=shingle_n, sh=sh_all.distinct()
+    )
+    return n_bands.join(jac, on=["a_id", "b_id"]).select(
+        "a_id", "b_id", "n_bands", "jaccard_e4"
     )
 
 

@@ -180,15 +180,28 @@ class CrawlEngine:
             manifest = json.load(fh)
         wave = manifest["wave"]
         last = wave - 1
-        seen_paths = [
-            os.path.join(ckdir, f"wave={w}", "seen_inc") for w in range(wave)
-        ]
+        snapw = manifest.get("seen_snapshot_wave")
+        if snapw is not None:
+            # compaction snapshot at wave `snapw` covers increments
+            # 0..snapw; only post-snapshot increments remain as files
+            seen_paths = [
+                os.path.join(ckdir, f"wave={snapw}", "seen_snapshot")
+            ] + [
+                os.path.join(ckdir, f"wave={w}", "seen_inc")
+                for w in range(snapw + 1, wave)
+            ]
+        else:
+            seen_paths = [
+                os.path.join(ckdir, f"wave={w}", "seen_inc")
+                for w in range(wave)
+            ]
         seen = reduce(
             DataFrame.unionByName,
             [self.spark.read.parquet(p) for p in seen_paths],
         )
         state = {
             "seen": seen,
+            "seen_snapshot_wave": snapw,
             "host_state": self.spark.read.parquet(
                 os.path.join(ckdir, f"wave={last}", "host_state")
             ),
@@ -269,9 +282,11 @@ class CrawlEngine:
         err: str | None = None
         visits_total = 0
         wave_metrics: list[dict] = []
+        seen_snapshot_wave: int | None = None
 
         if resume_state:
             seen_parts = [resume_state["seen"]]
+            seen_snapshot_wave = resume_state.get("seen_snapshot_wave")
             host_state = resume_state["host_state"]
             candidates = resume_state["candidates"]
             wave = resume_state["wave"]
@@ -282,10 +297,28 @@ class CrawlEngine:
                 elif hasattr(c, key):
                     setattr(c, key, val)
 
-        # Bloom sidecar shards: driver-held {pid: bitmap ndarray}, OR-merged
-        # per wave from the seen increment (MB-scale; on a cluster these
-        # live as Iceberg binary rows, see operators/seen.py)
-        bloom: dict[int, "object"] | None = {} if opts.use_bloom_seen else None
+        # Bloom sidecar: a DISTRIBUTED (pid, bitmap) shard table,
+        # checkpointed with the rest of the wave state (the Iceberg
+        # binary-rows format, operators/seen.py) and applied via a
+        # co-partitioned cogroup — the filter never transits the driver.
+        # Seeding it from the CURRENT seen set (not empty) makes
+        # bloom-on resume exact: a shard table missing already-seen URLs
+        # would be a false-negative hole the exact join never gets to
+        # repair, because definitely-unseen candidates skip it.
+        bloom_df: DataFrame | None = None
+        if opts.use_bloom_seen:
+            from crawlspark.operators.seen import build_bloom
+
+            bloom_df = self._ckpt(
+                build_bloom(
+                    reduce(DataFrame.unionByName, seen_parts),
+                    num_partitions=opts.bloom_partitions,
+                    expected_per_partition=opts.bloom_expected_per_partition,
+                    fpp=opts.bloom_fpp,
+                ),
+                "bloom",
+                -1,
+            )
 
         cached_df = None
         if ext.request_robots:
@@ -297,18 +330,13 @@ class CrawlEngine:
         import time as _time
 
         while wave < opts.max_waves:
-            _t = _time.perf_counter()
+            _t = _wave_t0 = _time.perf_counter()
             if candidates.isEmpty() and deferred.isEmpty():
                 break
             _t = _tick("isEmpty", _t)
             seen = reduce(DataFrame.unionByName, seen_parts)
 
             # ---- admission ---------------------------------------------
-            shards = (
-                [(pid, arr.tobytes()) for pid, arr in bloom.items()]
-                if bloom is not None
-                else None
-            )
             # persist (LAZY): the whole wave — admission → robots → gate →
             # fetch → extraction → next candidates — materializes as ONE
             # Spark job at the wave-end candidates checkpoint, with adm/
@@ -328,9 +356,17 @@ class CrawlEngine:
             # per-row, not per-byte, so fan the rows back out to the
             # executor parallelism (cheap: candidate rows are tiny).
             wave_parts = self.spark.sparkContext.defaultParallelism * 2
+            wave_pins: list[DataFrame] = []
+
+            def _pin_fork(d: DataFrame) -> DataFrame:
+                d = d.persist()
+                wave_pins.append(d)
+                return d
+
             adm = admit_candidates(
                 candidates, seen, seed_hosts, opts, ext.filter_factory,
-                bloom_shards=shards,
+                bloom_df=bloom_df,
+                pin=_pin_fork if opts.salt_hot_hosts else None,
             ).repartition(wave_parts).persist()
             _t = _tick("adm_plan", _t)
             admitted = adm.filter(F.col("admitted"))
@@ -860,27 +896,42 @@ class CrawlEngine:
                     flush=True,
                 )
             seen_parts.append(seen_inc)
-            if bloom is not None:
-                import numpy as np
-
-                from crawlspark.operators.seen import build_bloom, collect_shards
-
-                inc_shards = collect_shards(
-                    build_bloom(
-                        seen_inc,
-                        num_partitions=opts.bloom_partitions,
-                        expected_per_partition=opts.bloom_expected_per_partition,
-                        fpp=opts.bloom_fpp,
+            # increment compaction (Iceberg rewrite analog): collapse the
+            # O(waves) union into one snapshot so the next wave's probe
+            # plans against a single relation.  Resume-aware: the
+            # manifest records the snapshot wave; resume reads snapshot
+            # + post-snapshot increments instead of every wave's inc.
+            if (
+                opts.seen_compact_every > 0
+                and len(seen_parts) > opts.seen_compact_every
+            ):
+                seen_parts = [
+                    self._ckpt(
+                        reduce(DataFrame.unionByName, seen_parts),
+                        "seen_snapshot",
+                        wave,
                     )
+                ]
+                seen_snapshot_wave = wave
+            if bloom_df is not None:
+                from crawlspark.operators.seen import build_bloom, merge_blooms
+
+                # shard-table update, fully executor-side: build the
+                # increment's shards from the committed seen_inc, OR
+                # them into the running table with a 32-row cogroup,
+                # commit.  One small extra job per wave; nothing ever
+                # lands on the driver.
+                bloom_inc = build_bloom(
+                    seen_inc,
+                    num_partitions=opts.bloom_partitions,
+                    expected_per_partition=opts.bloom_expected_per_partition,
+                    fpp=opts.bloom_fpp,
                 )
-                for pid, b in inc_shards:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    if pid in bloom:
-                        merged = bloom[pid].copy()
-                        merged[: arr.size] |= arr[: merged.size]
-                        bloom[pid] = merged
-                    else:
-                        bloom[pid] = arr.copy()
+                bloom_df = self._ckpt(
+                    merge_blooms(bloom_df.unionByName(bloom_inc)),
+                    "bloom",
+                    wave,
+                )
             _t = _tick("state_ckpts", _t)
 
             by_tag = {r["_which"]: r for r in stats}
@@ -926,6 +977,7 @@ class CrawlEngine:
 
             summary = {
                 "wave": wave,
+                "wall_ms": int((_time.perf_counter() - _wave_t0) * 1000),
                 "candidates": int(n_filter_wave),
                 "admitted": int(n_admitted),
                 "new_hosts": int(n_new_hosts),
@@ -956,6 +1008,7 @@ class CrawlEngine:
             if self.opts.checkpoint_dir:
                 manifest = {
                     "wave": wave + 1,
+                    "seen_snapshot_wave": seen_snapshot_wave,
                     "visits_total": visits_total,
                     "counters": {
                         **{
@@ -975,6 +1028,8 @@ class CrawlEngine:
             gated.unpersist()
             phased.unpersist()
             parsed.unpersist()
+            for d in wave_pins:
+                d.unpersist()
             if opts.collect_logs:
                 scheduled.unpersist()
 

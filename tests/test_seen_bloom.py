@@ -60,6 +60,68 @@ def test_merge_blooms(spark):
     assert not rows["http://h/zzz"]
 
 
+def test_apply_bloom_df_matches_collected(spark):
+    """The cogroup shard-table probe (the 10^10-URL path) returns the
+    same maybe_seen verdicts as the collected-shard-list form, and ORs
+    unmerged increment rows on the fly."""
+    from crawlspark.operators.seen import apply_bloom_df
+
+    kw = dict(num_partitions=4, expected_per_partition=500, fpp=0.01)
+    a = spark.range(300).select(
+        F.concat(F.lit("http://h/a"), F.col("id")).alias("url_norm")
+    )
+    b = spark.range(300).select(
+        F.concat(F.lit("http://h/b"), F.col("id")).alias("url_norm")
+    )
+    # two UNMERGED increments in one shard table
+    shards_df = build_bloom(a, **kw).unionByName(build_bloom(b, **kw))
+    cands = spark.range(900).select(
+        F.concat(F.lit("http://h/a"), F.col("id")).alias("url_norm")
+    )
+    via_df = {
+        r["url_norm"]: r["maybe_seen"]
+        for r in apply_bloom_df(cands, shards_df, **kw).collect()
+    }
+    via_list = {
+        r["url_norm"]: r["maybe_seen"]
+        for r in apply_bloom(
+            cands, collect_shards(merge_blooms(shards_df)), **kw
+        ).collect()
+    }
+    assert via_df == via_list
+    for i in range(300):  # no false negatives
+        assert via_df[f"http://h/a{i}"]
+
+
+def test_resume_with_bloom_matches_full(spark, fixture_pages, tmp_path):
+    """Bloom-on resume seeds the shard table from the checkpointed seen
+    set — no false-negative hole across the resume boundary."""
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    bopts = dict(
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        bloom_expected_per_partition=1000, bloom_fpp=0.01,
+    )
+    full = CrawlEngine(
+        spark, fixture_pages, Options(**bopts)
+    ).run(seeds)
+    ck = str(tmp_path / "ckb")
+    CrawlEngine(
+        spark, fixture_pages,
+        Options(checkpoint_dir=ck, max_waves=1, **bopts),
+    ).run(seeds)
+    resumed = CrawlEngine(
+        spark, fixture_pages, Options(checkpoint_dir=ck, **bopts)
+    ).resume(seeds)
+    assert resumed.counters.visit == full.counters.visit == 5
+    assert resumed.counters.filter == full.counters.filter == 13
+    s1 = {r[0] for r in full.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in resumed.seen.select("url_norm").collect()}
+    assert s1 == s2
+
+
 def test_engine_with_bloom_matches_exact(spark, fixture_pages):
     """Crawl with the Bloom pre-filter enabled: identical counters,
     seen set, and visit order vs the exact-join path."""
