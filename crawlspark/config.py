@@ -104,6 +104,23 @@ DEFAULT_USER_AGENT = (
 DEFAULT_ROBOT_USER_AGENT = "Googlebot (gocrawl v0.4)"
 
 
+class LogFlags(enum.IntFlag):
+    """Leveled log verbosity flags (reference: logger.go:10-19).
+
+    ``Options.log_flags`` selects which levels are emitted; disabled
+    levels cost nothing (the engine skips the driver collects that feed
+    them).  Lines land in ``CrawlResult.log`` unless ``Extender.log``
+    is set."""
+
+    NONE = 0
+    ERROR = 1 << 0
+    INFO = 1 << 1
+    ENQUEUED = 1 << 2
+    IGNORED = 1 << 3
+    TRACE = 1 << 4
+    ALL = ERROR | INFO | ENQUEUED | IGNORED | TRACE
+
+
 @dataclass
 class Options:
     """Static run configuration (reference: options.go:22-78).
@@ -134,6 +151,11 @@ class Options:
     # URLs anyway", and the skew bound on the per-host serial dimension
     max_urls_per_host_per_wave: int = 0
     use_bloom_seen: bool = False  # Bloom pre-filter before the seen join
+    # leveled log verbosity (logger.go:21-29); NONE = silent and free.
+    # Non-NONE levels collect small per-wave frames driver-side (the
+    # logAssert parity surface) — a debug/parity mode, not the 100 TB
+    # throughput path.
+    log_flags: int = 0
     # seen-table increment compaction (the Iceberg rewrite/MERGE analog):
     # the seen set is an append-only list of per-wave increments; probing
     # it re-plans an O(waves)-way union every wave.  Every N waves the

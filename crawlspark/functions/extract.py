@@ -165,13 +165,20 @@ def parse_page(html: bytes | str):
     return _parse_page_slow(html)
 
 
-# page-URL prefix for trivial resolution: scheme://host with a root path
-_PAGE_PREFIX_RX = re.compile(r"\A(https?://[^/?#]+)(?:/|\Z)")
+# page-URL prefix for trivial resolution: scheme://host with a root
+# path.  C0 controls and space are excluded from the authority: urllib
+# strips \t\r\n anywhere and leading/trailing controls/space, so any
+# such page URL must take the slow (urljoin-identical) path.
+_PAGE_PREFIX_RX = re.compile(r"\A(https?://[^/?#\x00-\x20]+)(?:/|\Z)")
 # absolute-path href whose resolution is prefix+href verbatim: no
-# protocol-relative "//", no dot segments, no fragment
-_PLAIN_PATH_RX = re.compile(r"\A/(?!/)[^#]*\Z")
-# absolute http(s) href that urljoin returns unchanged
-_PLAIN_ABS_RX = re.compile(r"\Ahttps?://[^/?#]+/[^#]*\Z")
+# protocol-relative "//", no dot segments, no fragment, no embedded
+# controls/whitespace (urljoin strips \t\r\n anywhere), and not ending
+# in a bare "?" (urlunsplit drops an empty trailing query)
+_PLAIN_PATH_RX = re.compile(r"\A/(?!/)[^#\x00-\x20]*(?<!\?)\Z")
+# absolute http(s) href that urljoin returns unchanged (same caveats)
+_PLAIN_ABS_RX = re.compile(
+    r"\Ahttps?://[^/?#\x00-\x20]+/[^#\x00-\x20]*(?<!\?)\Z"
+)
 _DOT_SEG_RX = re.compile(r"/\.{1,2}(?:/|\Z)")
 
 

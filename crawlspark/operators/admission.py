@@ -42,7 +42,11 @@ CANDIDATE_DDL = (
 
 
 def _ord_rank() -> Column:
-    return F.struct(*[F.col(c) for c in ORD_COLS])
+    # raw url as final component: two candidates may collide on the
+    # whole ord tuple (xxhash64 seed ord_seq), and the within-wave
+    # first-admit min must still be a UNIQUE row or both copies would
+    # test unvisited and be admitted twice
+    return F.struct(*[F.col(c) for c in ORD_COLS], F.col("url"))
 
 
 def admit_candidates(
@@ -130,8 +134,10 @@ def admit_candidates(
             return ~visited  # default Filter (ext.go:172-174)
         return filter_factory(df, visited)
 
-    admit_if_unvisited = _filter(F.lit(False)) & policies
-    admit_if_visited = _filter(F.lit(True)) & policies
+    f_unv = _filter(F.lit(False))
+    f_vis = _filter(F.lit(True))
+    admit_if_unvisited = f_unv & policies
+    admit_if_visited = f_vis & policies
 
     first_admit_expr = F.when(
         admit_if_unvisited & ~seen_flag & ~F.col("is_robots"), _ord_rank()
@@ -171,10 +177,26 @@ def admit_candidates(
         & F.when(is_visited, admit_if_visited).otherwise(admit_if_unvisited)
     )
 
+    # first-failing-policy label in the reference's precedence order
+    # (crawler.go:212-229: Filter → absolute → scheme → same host) —
+    # feeds the LogIgnored lines; pure column exprs, pruned when unused
+    raw_scheme = F.lower(
+        F.regexp_extract(F.col("url"), r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    )
+    filter_ok = F.when(is_visited, f_vis).otherwise(f_unv)
+    reject_reason = (
+        F.when(~filter_ok, F.lit("filter"))
+        .when(raw_scheme == "", F.lit("absolute"))
+        .when(~raw_scheme.startswith("http"), F.lit("scheme"))
+        .when(~same_host_ok, F.lit("same host"))
+        .otherwise(F.lit("unparsable"))
+    )
+
     return (
         df.withColumn("is_visited", is_visited)
         .withColumn("counts_filter", ~F.col("is_robots") & F.col("url_norm").isNotNull())
         .withColumn("admitted", admitted)
         .withColumn("robots_bypass", F.col("is_robots"))
+        .withColumn("reject_reason", reject_reason)
         .drop("_seen", "_is_seed_host", "_first_admit_ord")
     )

@@ -144,6 +144,33 @@ def host_seq_cumsum_skewproof(
     )
 
 
+def global_cumsum_skewproof(
+    df: DataFrame,
+    value_col: str,
+    ord_cols: list[str],
+    num_buckets: int | None = None,
+    out_col: str = "_cumsum_excl",
+) -> DataFrame:
+    """GLOBAL (no partition key) exact exclusive cumsum over a total
+    order — e.g. the MaxVisits cumulative-visit counter — without a
+    partition-less window (which would serialize the whole wave into
+    one task).
+
+    Constant-key reuse of :func:`host_cumsum_skewproof`: the data-sized
+    windows are all per range-bucket; only the ≤ num_buckets offset
+    rows ever share one partition (the reference analog is the single
+    visit counter cell, crawler.go:300-309)."""
+    tmp = "_gall"
+    return host_cumsum_skewproof(
+        df.withColumn(tmp, F.lit(0)),
+        value_col,
+        ord_cols,
+        host_col=tmp,
+        num_buckets=num_buckets,
+        out_col=out_col,
+    ).drop(tmp)
+
+
 def host_cumsum_skewproof(
     df: DataFrame,
     value_col: str,

@@ -42,7 +42,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawlspark.config import Options
+from crawlspark.config import LogFlags, Options
 from crawlspark.functions.udfs import (
     extract_page_udf,
     make_canonicalize_udf,
@@ -119,6 +119,9 @@ class CrawlResult:
     wave_metrics: list[dict] = field(default_factory=list)
     n_seeds: int = 0
     n_seed_hosts: int = 0
+    # leveled log lines (the logAssert parity surface); populated when
+    # opts.log_flags enables levels and no Extender.log hook is set
+    log: list[str] = field(default_factory=list)
 
 
 class CrawlEngine:
@@ -136,6 +139,31 @@ class CrawlEngine:
         self._pending: list[tuple[str, str | None]] = []
         self._robots_parse = make_robots_parse_udf(self.opts.robot_user_agent)
         self._canon = make_canonicalize_udf(self.opts.url_normalization_flags)
+        self._log_lines: list[str] = []
+
+    def _log(self, min_level: int, msg: str) -> None:
+        """Leveled log emission (getLogFunc analog, logger.go:21-29):
+        the Extender.log hook sees every line with the configured
+        verbosity; the default sink buffers enabled lines."""
+        if self.ext.log is not None:
+            self.ext.log(self.opts.log_flags, min_level, msg)
+        elif self.opts.log_flags & min_level:
+            self._log_lines.append(msg)
+
+    def _log_enabled(self, level: int) -> bool:
+        """Whether level's lines must be PRODUCED: a custom hook sees
+        every line regardless of verbosity (getLogFunc always forwards,
+        logger.go:21-29; DefaultExtender filters, ext.go:100-104)."""
+        return self.ext.log is not None or bool(self.opts.log_flags & level)
+
+    @staticmethod
+    def _fmt_delay(ms: int) -> str:
+        """Go time.Duration %v formatting for whole milliseconds
+        ("200ms", "17ms", "5s", "1.5s") — the logAssert substrings."""
+        if ms >= 1000:
+            s = ms / 1000.0
+            return f"{s:g}s"
+        return f"{ms}ms"
 
     # -- EnqueueChan analog (crawler.go:320-324): picked up next wave,
     # sourceless (same-host policy checks seed hosts, crawler.go:192-194)
@@ -220,6 +248,7 @@ class CrawlEngine:
         _t0 = _time.perf_counter()
         opts, ext = self.opts, self.ext
         self._pending = []  # fresh run = fresh state (complex_test.go:101-133)
+        self._log_lines = []
         c = Counters()
         if ext.start is not None:
             seeds = ext.start(seeds)
@@ -270,6 +299,9 @@ class CrawlEngine:
         else:
             n_seeds = candidates.count()
             n_seed_hosts = seed_hosts.count()
+        # init trace lines (crawler.go:90-91)
+        self._log(LogFlags.TRACE, f"init() - seeds length: {n_seeds}")
+        self._log(LogFlags.TRACE, f"init() - host count: {n_seed_hosts}")
         _t0 = _tick("seed_setup", _t0)
 
         deferred = self._empty(DEFER_DDL)
@@ -494,14 +526,17 @@ class CrawlEngine:
                 # ordering tuple)
                 from crawlspark.operators.skew import host_seq_skewproof
 
+                # url_norm as final tie-break: ord_seq is xxhash64 for
+                # DataFrame seeds, so a 64-bit collision between two
+                # same-host seeds must still order deterministically
                 page_rows = host_seq_skewproof(
-                    page_rows, ORD_COLS,
+                    page_rows, ORD_COLS + ["url_norm"],
                     num_buckets=opts.salt_buckets or None,
                     seq_col="_rn_host",
                 )
             else:
                 w_host = Window.partitionBy("host").orderBy(
-                    *[F.col(x) for x in ORD_COLS]
+                    *[F.col(x) for x in ORD_COLS + ["url_norm"]]
                 )
                 page_rows = page_rows.withColumn(
                     "_rn_host", F.row_number().over(w_host)
@@ -526,6 +561,12 @@ class CrawlEngine:
 
             # ---- fetch join ---------------------------------------------
             fetched = self.pages.fetch(page_rows, url_col="url")
+            # per-fetch hook (ext.go:45 Fetch): a column-level transform
+            # over the fetched rows — rewrite status/html/redirect_to by
+            # URL pattern (custom-fetcher test shape) without swapping
+            # the PagesSource
+            if ext.fetch_transform is not None:
+                fetched = ext.fetch_transform(fetched)
 
             gate = (
                 ext.request_get(fetched)
@@ -541,25 +582,22 @@ class CrawlEngine:
             phased = fetched.withColumn("fetch_rank", F.explode(phases))
 
             # MaxVisits: exact truncation over the deterministic global
-            # order.  Single-partition window — only ever evaluated when
-            # max_visits > 0 (small parity crawls), never on the scale path.
+            # order, via the two-phase range-bucket cumsum (skew.py) —
+            # no partition-less window, so a big wave with max_visits
+            # set no longer serializes into one task.
             stop_after_wave = False
             if opts.max_visits > 0:
+                from crawlspark.operators.skew import global_cumsum_skewproof
+
                 is_visit_row = (
                     (F.col("fetch_rank") == 2) & _ok() & F.col("redirect_to").isNull()
                 )
-                w_all = Window.orderBy(
-                    *[F.col(x) for x in ORD_COLS], F.col("fetch_rank")
-                )
-                phased = phased.withColumn(
-                    "_cum_visits_excl",
-                    F.coalesce(
-                        F.sum(is_visit_row.cast("int")).over(
-                            w_all.rowsBetween(Window.unboundedPreceding, -1)
-                        ),
-                        F.lit(0),
-                    ),
-                )
+                phased = global_cumsum_skewproof(
+                    phased.withColumn("_isv", is_visit_row.cast("int")),
+                    "_isv",
+                    ORD_COLS + ["url_norm", "fetch_rank"],
+                    out_col="_cum_visits_excl",
+                ).drop("_isv")
                 remaining = opts.max_visits - visits_total
                 dropped_any = (
                     phased.filter(F.col("_cum_visits_excl") >= remaining)
@@ -772,9 +810,17 @@ class CrawlEngine:
             # worker idle TTL (worker.go:57-74): evict hosts idle too long;
             # robots re-fetched if the host reappears
             if opts.worker_idle_ttl_waves > 0:
-                host_state = host_state.filter(
-                    F.col("last_active_wave") >= wave - opts.worker_idle_ttl_waves
+                ttl_pred = (
+                    F.col("last_active_wave")
+                    >= wave - opts.worker_idle_ttl_waves
                 )
+                if self._log_enabled(LogFlags.INFO):
+                    for r in host_state.filter(~ttl_pred).select("host").collect():
+                        self._log(
+                            LogFlags.INFO,
+                            f"worker for host {r['host']} cleared on idle policy",
+                        )
+                host_state = host_state.filter(ttl_pred)
 
             # ---- settle wave counters -----------------------------------
             # ONE combined agg (gate + fetch + robots counts) over the
@@ -944,6 +990,49 @@ class CrawlEngine:
             c.request_robots += n_new_hosts
             c.fetch += n_rob_fetched
             c.compute_delay += n_rob_fetched
+            c.fetched_robots += n_rob_fetched
+            # FetchedRobots notification hook (ext.go:48, worker.go:172):
+            # real (non-cached) robots fetches of this wave
+            if ext.fetched_robots is not None:
+                ext.fetched_robots(
+                    [
+                        (r["host"], r["status"])
+                        for r in parsed.filter(~F.col("cached"))
+                        .select("host", "status")
+                        .collect()
+                    ]
+                )
+            # leveled log families (logAssert parity surface); each
+            # collect is gated on its level so throughput runs skip them
+            if self._log_enabled(LogFlags.IGNORED):
+                rej = (
+                    adm.filter(F.col("counts_filter") & ~F.col("admitted"))
+                    .select(
+                        "reject_reason",
+                        F.coalesce(F.col("url_norm"), F.col("url")).alias("u"),
+                    )
+                    .collect()
+                )
+                for r in rej:
+                    self._log(
+                        LogFlags.IGNORED,
+                        f"ignore on {r['reject_reason']} policy: {r['u']}",
+                    )
+            if self._log_enabled(LogFlags.ENQUEUED):
+                for r in parsed.select("url_norm").collect():
+                    self._log(LogFlags.ENQUEUED, f"enqueue: {r['url_norm']}")
+                for r in adm.filter(F.col("admitted")).select("url").collect():
+                    self._log(LogFlags.ENQUEUED, f"enqueue: {r['url']}")
+            if self._log_enabled(LogFlags.INFO):
+                # the delay actually used per host this wave
+                # (worker.go:203 "using crawl-delay: %v")
+                for r in (
+                    scheduled.select("host", "delay_ms").distinct().collect()
+                ):
+                    self._log(
+                        LogFlags.INFO,
+                        f"using crawl-delay: {self._fmt_delay(r['delay_ms'])}",
+                    )
             # robots misses are kind-fetch errors (file-fetcher semantics,
             # fileext_test.go:42-47)
             c.add_error("fetch", n_rob_miss)
@@ -1057,4 +1146,5 @@ class CrawlEngine:
             wave_metrics=wave_metrics,
             n_seeds=n_seeds,
             n_seed_hosts=n_seed_hosts,
+            log=self._log_lines,
         )

@@ -56,6 +56,18 @@ class Extender:
     request_robots: dict[str, bytes] = field(default_factory=dict)
     on_wave_end: Optional[Callable] = None
     end: Optional[Callable[[Optional[str]], None]] = None
+    # log(verbosity_flags, msg_level, msg) — the leveled Log hook
+    # (ext.go:37, logger.go:10-19); None → the engine buffers enabled
+    # lines into CrawlResult.log (the logAssert surface)
+    log: Optional[Callable[[int, int, str], None]] = None
+    # fetch_transform(fetched_df) -> df — per-fetch hook (ext.go:45,
+    # Fetch): rewrite status/html/redirect_to after the pages join,
+    # e.g. inject latency/status by URL pattern; None → passthrough
+    fetch_transform: Optional[Callable[[DataFrame], DataFrame]] = None
+    # fetched_robots(rows: list[(host, status)]) — notification after
+    # real (non-cached) robots fetches (ext.go:48, worker.go:172);
+    # requires a driver collect of the (small) per-wave new-host set
+    fetched_robots: Optional[Callable] = None
 
 
 @dataclass
@@ -75,6 +87,7 @@ class Counters:
     compute_delay: int = 0
     request_robots: int = 0
     request_get: int = 0
+    fetched_robots: int = 0
     errors_by_kind: dict[str, int] = field(default_factory=dict)
 
     def add_error(self, kind: str, n: int) -> None:

@@ -47,12 +47,20 @@ def to_seed_rows(seeds) -> list[tuple[str, str | None]]:
 
 def seeds_df(spark: SparkSession, seeds) -> DataFrame:
     if isinstance(seeds, DataFrame):
+        from pyspark.sql import functions as F
+
         cols = seeds.columns
         if "url" not in cols:
             raise TypeError("seed DataFrame must have a 'url' column")
         if "state" not in cols:
-            from pyspark.sql import functions as F
-
             seeds = seeds.withColumn("state", F.lit(None).cast("string"))
-        return seeds.select("url", "state")
+        # DataFrame seeds are a SET: duplicate urls would carry
+        # identical ordering tuples and both pass the within-wave
+        # first-admit test (the list path handles dups via the visited
+        # flag instead).  min(state) keeps the reduction deterministic.
+        return (
+            seeds.select("url", "state")
+            .groupBy("url")
+            .agg(F.min("state").alias("state"))
+        )
     return spark.createDataFrame(to_seed_rows(seeds), schema=SEED_DDL)

@@ -543,3 +543,158 @@ def test_parallel_checkpoints_same_result(spark, fixture_pages):
     )
     assert res.counters.visit == 3
     assert res.counters.filter == 10
+
+
+# ---------------------------------------------------------- log surface ----
+
+class TestLogSurface:
+    """logAssert parity (tbldef_test.go logAsserts): the leveled log
+    hook/buffer reproduces the reference's asserted log lines."""
+
+    def _opts(self, **kw):
+        from crawlspark.config import LogFlags
+
+        return Options(
+            crawl_delay_ms=DELAY, log_flags=LogFlags.ALL, **kw
+        )
+
+    def test_robot_crawl_delay_logged(self, spark, fixture_pages):
+        # RobotCrawlDelay (tbldef_test.go:642-644)
+        res = crawl(
+            spark, fixture_pages, ["http://robotc/page1.html"], self._opts()
+        )
+        assert any("using crawl-delay: 200ms" in l for l in res.log)
+
+    def test_compute_delay_logged(self, spark, fixture_pages):
+        # ComputeDelay (tbldef_test.go:195-196): hook delay 17ms in use
+        ext = Extender(compute_delay=lambda df: F.lit(17))
+        res = crawl(
+            spark, fixture_pages, ["http://hosta/page1.html"],
+            self._opts(), ext,
+        )
+        assert any("using crawl-delay: 17ms" in l for l in res.log)
+
+    def test_filter_policy_ignored_logged(self, spark, fixture_pages):
+        # Filter (tbldef_test.go:219-232): custom filter keeps only
+        # *page1.html; page2 rejection logged at LogIgnored
+        ext = Extender(
+            filter_factory=lambda df, visited: F.col("path").endswith(
+                "page1.html"
+            )
+        )
+        res = crawl(
+            spark, fixture_pages, ["http://hostc/page1.html"],
+            self._opts(), ext,
+        )
+        assert any(
+            "ignore on filter policy: http://hostc/page2.html" in l
+            for l in res.log
+        )
+
+    def test_same_host_policy_ignored_logged(self, spark, fixture_pages):
+        # same-host rejection line (crawler.go:229, tbldef_test.go:351)
+        res = crawl(
+            spark, fixture_pages, ["http://hosta/page3.html"], self._opts()
+        )
+        assert any(
+            "ignore on same host policy: http://hostb/page1.html" in l
+            for l in res.log
+        )
+        # and no absolute-policy lines for these all-absolute links
+        assert not any("ignore on absolute policy" in l for l in res.log)
+
+    def test_idle_clear_logged(self, spark, fixture_pages):
+        # IdleTimeOut (tbldef_test.go:117-120)
+        res = crawl(
+            spark, fixture_pages,
+            ["http://hosta/page5.html", "http://hostb/page1.html"],
+            self._opts(worker_idle_ttl_waves=1),
+        )
+        assert any(
+            "worker for host hosta cleared on idle policy" in l
+            for l in res.log
+        )
+
+    def test_init_trace_lines(self, spark, fixture_pages):
+        # ReadBodyInVisitor-style init asserts (tbldef_test.go:494-496)
+        res = crawl(
+            spark, fixture_pages,
+            [
+                "http://hosta/page1.html",
+                "http://hosta/page4.html",
+                "http://hostb/pageunlinked.html",
+            ],
+            self._opts(),
+        )
+        assert "init() - seeds length: 3" in res.log
+        assert "init() - host count: 2" in res.log
+
+    def test_enqueued_lines_and_custom_hook(self, spark, fixture_pages):
+        # a custom Log hook sees every line (getLogFunc always forwards)
+        from crawlspark.config import LogFlags
+
+        seen: list[tuple[int, int, str]] = []
+        ext = Extender(log=lambda v, lvl, m: seen.append((v, lvl, m)))
+        res = crawl(
+            spark, fixture_pages, ["http://robota/page1.html"],
+            Options(crawl_delay_ms=DELAY, log_flags=LogFlags.NONE), ext,
+        )
+        assert res.log == []  # hook consumed them
+        msgs = [m for _, _, m in seen]
+        assert "enqueue: http://robota/robots.txt" in msgs
+        assert "enqueue: http://robota/page1.html" in msgs
+        levels = {lvl for _, lvl, _ in seen}
+        assert LogFlags.ENQUEUED in levels and LogFlags.TRACE in levels
+
+
+# ------------------------------------------------------- per-fetch hooks ----
+
+class TestFetchHooks:
+    def test_fetch_transform_forces_404(self, spark, fixture_pages):
+        # Fetch hook analog (ext.go:45): rewrite status by URL pattern;
+        # page5 (a leaf) forced 404 → exactly one fewer visit than the
+        # AllSameHost base case, all other counters identical
+        base = crawl(
+            spark, fixture_pages,
+            ["http://hosta/page1.html", "http://hosta/page4.html"],
+        )
+        ext = Extender(
+            fetch_transform=lambda df: df.withColumn(
+                "status",
+                F.when(
+                    F.col("url_norm").endswith("page5.html"), F.lit(404)
+                ).otherwise(F.col("status")),
+            )
+        )
+        res = crawl(
+            spark, fixture_pages,
+            ["http://hosta/page1.html", "http://hosta/page4.html"],
+            ext=ext,
+        )
+        assert base.counters.visit == 5
+        assert res.counters.visit == 4
+        assert res.counters.filter == base.counters.filter == 13
+        assert res.counters.fetch == base.counters.fetch
+
+    def test_fetched_robots_hook(self, spark, fixture_pages):
+        # FetchedRobots (ext.go:48, worker.go:172): notified for real
+        # fetches only, not cached bodies; counter matches
+        got: list[list] = []
+        ext = Extender(fetched_robots=lambda rows: got.append(rows))
+        res = crawl(
+            spark, fixture_pages, ["http://hosta/page1.html"], ext=ext
+        )
+        flat = [h for batch in got for h, _ in batch]
+        assert flat == ["hosta"]
+        assert res.counters.fetched_robots == 1
+
+        got2: list[list] = []
+        ext2 = Extender(
+            request_robots={"robota": b"Disallow:/page2.html"},
+            fetched_robots=lambda rows: got2.append(rows),
+        )
+        res2 = crawl(
+            spark, fixture_pages, ["http://robota/page1.html"], ext=ext2
+        )
+        assert [h for b in got2 for h, _ in b] == []
+        assert res2.counters.fetched_robots == 0

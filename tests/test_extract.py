@@ -136,7 +136,12 @@ def test_fast_path_random_docs(parts):
                 ["/a/b.html", "/a//b", "/../x", "/a/./b", "page.html", "#f", "",
                  "http://h2.example/p.html", "https://h2/x?q=1", "//h3/p",
                  "http://h/p#frag", "HTTP://H/p", "/p?a=1&b=2", "?q=2",
-                 "http://h", "mailto:x@y", "ftp://h/f"]
+                 "http://h", "mailto:x@y", "ftp://h/f",
+                 # urljoin strips \t\r\n anywhere, drops a trailing bare
+                 # "?", and strips leading/trailing controls/space — the
+                 # fast regexes must bail on all of these
+                 "/p?", "/a\tb", "/a\nb", "https://h/p?", "http://h/a\tb",
+                 " /x", "/x ", "/x\x01", "\thttp://h/p"]
             ),
             st.text(max_size=10),
         ),
@@ -144,7 +149,8 @@ def test_fast_path_random_docs(parts):
     ),
     st.sampled_from(
         ["http://host.example/dir/page.html", "http://h", "https://h:81/p",
-         "not-a-url", ""]
+         "not-a-url", "", "http://h\to st/p", "http://h/p ", " http://h/p",
+         "http://h\nx/p"]
     ),
 )
 def test_resolve_links_equals_per_href(hrefs, page_url):

@@ -66,6 +66,35 @@ def test_cumsum_matches_plain_window(spark, skewed):
     assert joined.filter(F.col("cs_plain") != F.col("cs_salt")).count() == 0
 
 
+def test_global_cumsum_matches_plain_window(spark, skewed):
+    """The MaxVisits counter shape: GLOBAL exclusive cumsum over a total
+    order, no partition-less window (engine.py max_visits path)."""
+    from crawlspark.operators.skew import global_cumsum_skewproof
+
+    w = (
+        Window.orderBy("host", "ord_a", "ord_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plain = skewed.withColumn(
+        "cs", F.coalesce(F.sum("delay").over(w), F.lit(0))
+    )
+    salted = global_cumsum_skewproof(
+        skewed, "delay", ["host", "ord_a", "ord_b"], num_buckets=6,
+        out_col="cs",
+    )
+    key = ["host", "ord_a", "ord_b"]
+    joined = plain.select(*key, F.col("cs").alias("cs_plain")).join(
+        salted.select(*key, F.col("cs").alias("cs_salt")), on=key
+    )
+    assert joined.count() == skewed.count()
+    assert joined.filter(F.col("cs_plain") != F.col("cs_salt")).count() == 0
+    # and the salted plan carries no partition-less data-sized window
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(" in line:
+            assert "_bkt" in line or "_gall" in line, line
+
+
 def test_fused_matches_plain_window(spark, skewed):
     w = Window.partitionBy("host").orderBy("ord_a", "ord_b")
     plain = skewed.withColumn("rn", F.row_number().over(w)).withColumn(
