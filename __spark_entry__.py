@@ -258,6 +258,22 @@ def _q_ngram_jaccard(spark, sf):
     return ngram_jaccard(_t(spark, sf, "documents"))
 
 
+def _q_media_features(spark, sf):
+    # deterministic media synthesis (real BMP/WAV/CVID bytes, born on
+    # executors) -> real decode kernels; every projected feature is
+    # integer arithmetic the DuckDB oracle re-derives from doc_id
+    from crawlspark.functions.multimodal import (
+        extract_media_features,
+        media_from_ids,
+    )
+
+    media = media_from_ids(_t(spark, sf, "documents").select("doc_id"))
+    return extract_media_features(media, frame_stride_ms=200).select(
+        "media_id", "kind", "width", "height", "duration_ms", "mean_e6",
+        "frames_sampled",
+    )
+
+
 def _q_dedup_pipeline(spark, sf):
     # shingle+signature pass computed ONCE, shared by LSH banding and
     # the exact Jaccard verifier (vs 3x recompute as separate queries)
@@ -288,6 +304,12 @@ def _q_token_count(spark, sf):
     from crawlspark.operators.textops import token_counts
 
     return token_counts(_t(spark, sf, "documents"))
+
+
+def _q_token_count_bpe(spark, sf):
+    from crawlspark.operators.textops import token_counts_bpe
+
+    return token_counts_bpe(_t(spark, sf, "documents"))
 
 
 def _q_doc_fingerprint(spark, sf):
@@ -347,10 +369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_pipeline": _q_dedup_pipeline,
+        "media_features": _q_media_features,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_topk": _q_embedding_topk,
         "embedding_ann_bucketed": _q_embedding_ann_bucketed,
@@ -391,6 +415,23 @@ pairs AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
+"""
+
+
+def _token_count_bpe_sql() -> str:
+    from crawlspark.functions.bpe import fixture_merges, merge_replace_sql
+
+    wrapped = r"regexp_replace(w, '(.)', '§\1§', 'g')"
+    merged = merge_replace_sql(wrapped, fixture_merges())
+    return f"""
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(
+           list_filter(string_split(replace(lower(text), '§', ''), ' '),
+                       w -> w <> ''),
+           w -> (length({merged}) - length(replace({merged}, '§', ''))) // 2
+       )), 0) AS BIGINT) AS bpe_tokens,
+       CAST(len(regexp_extract_all(text,'\\w+|[^\\w\\s]')) AS BIGINT) AS re_tokens
+FROM documents
 """
 
 
@@ -556,6 +597,54 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a_id
 JOIN sizes sb ON sb.doc_id = i.b_id
 """,
+        # replay the media generator's integer formulas per doc_id
+        # (crawlspark/functions/multimodal.py _media_params /
+        # synthesize_media_blob): the Spark side encodes REAL BMP/WAV/
+        # CVID bytes and decodes them; matching means the codec
+        # round-trip is bit-faithful
+        "media_features": """
+WITH ids AS (SELECT doc_id AS mid FROM documents),
+img AS (
+  SELECT mid, 'image' AS kind,
+         CAST(8 + mid % 8 AS INTEGER) AS width,
+         CAST(6 + mid % 5 AS INTEGER) AS height,
+         0 AS duration_ms,
+         list_sum(list_transform(range(0, (8 + mid % 8) * (6 + mid % 5)),
+                  i -> (mid * 31 + i * 7) % 256)) AS s,
+         (8 + mid % 8) * (6 + mid % 5) AS n,
+         1 AS frames_sampled,
+         255 AS scale
+  FROM ids WHERE mid % 3 = 0
+),
+aud AS (
+  SELECT mid, 'audio' AS kind, 0 AS width, 0 AS height,
+         (200 + mid % 50) * 1000 // 8000 AS duration_ms,
+         list_sum(list_transform(range(0, 200 + mid % 50),
+                  i -> abs(((mid * 7 + i * 13) % 65536) - 32768))) AS s,
+         200 + mid % 50 AS n,
+         0 AS frames_sampled,
+         32768 AS scale
+  FROM ids WHERE mid % 3 = 1
+),
+vid AS (
+  SELECT mid, 'video' AS kind,
+         CAST(8 + mid % 4 AS INTEGER) AS width, 8 AS height,
+         (5 + mid % 6) * 1000 // 10 AS duration_ms,
+         list_sum(list_transform(range(0, (5 + mid % 6 + 1) // 2),
+            j -> list_sum(list_transform(range(0, (8 + mid % 4) * 8),
+                 i -> (mid * 17 + 2 * j * 101 + i * 3) % 256)))) AS s,
+         ((5 + mid % 6 + 1) // 2) * (8 + mid % 4) * 8 AS n,
+         (5 + mid % 6 + 1) // 2 AS frames_sampled,
+         255 AS scale
+  FROM ids WHERE mid % 3 = 2
+),
+allm AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+SELECT mid AS media_id, kind, width, height,
+       CAST(duration_ms AS INTEGER) AS duration_ms,
+       CAST(s * 1000000 // (n * scale) AS BIGINT) AS mean_e6,
+       CAST(frames_sampled AS INTEGER) AS frames_sampled
+FROM allm
+""",
         "dedup_pipeline": "WITH " + _SIGS_CTE + """,
 nb AS (SELECT a_id, b_id, COUNT(*) AS n_bands FROM pairs GROUP BY a_id, b_id),
 p2 AS (SELECT DISTINCT a_id, b_id FROM pairs),
@@ -596,6 +685,11 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text,'\\w+|[^\\w\\s]')) AS BIGINT) AS re_tokens
 FROM documents
 """,
+        # replay the pinned BPE merge list as nested replace() calls
+        # over the delimiter-wrapped word form (functions/bpe.py:
+        # delimiter-per-symbol makes plain left-to-right replace
+        # reproduce the canonical merge scan exactly)
+        "token_count_bpe": _token_count_bpe_sql(),
         "doc_fingerprint": "WITH " + _SHINGLES_CTE + """,
 fps AS (SELECT doc_id, MIN(md5(shingle)) AS fp FROM (
   SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-3,0)),

@@ -5,19 +5,33 @@ with typed metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so bytes never round-trip
 through the driver and each task handles one Arrow batch of blobs.
 
-The actual codec work needs image/audio libraries this container does
-not ship, so the decode kernel is STUBBED: ``decode_stub=True`` (the
-default here) derives deterministic fake features from the bytes
-(shape from a seeded hash, mean from a byte checksum), keeping every
-Spark-side piece — schema, partitioning, UDF signature, batch shape —
-real and tested.  Swap ``_decode_image`` for a Pillow/libvips call on a
-real cluster; nothing else changes.
+The decode kernels are REAL for the uncompressed formats this container
+can handle without external libraries:
+
+- **BMP** (24-bit BI_RGB, top-down or bottom-up): full header parse
+  (file header offset, DIB size/width/height/bpp/compression), row
+  padding honored, mean intensity from the actual pixel bytes.
+- **WAV** (RIFF/WAVE, PCM16 mono/stereo): chunk walk to ``fmt `` and
+  ``data``, duration from sample count / rate, mean |amplitude| from
+  the samples.
+- **CVID** (a deterministic raw-frame container defined here: magic +
+  width/height/fps/nframes + grayscale frames): real frame-sampling at
+  a millisecond stride with means over the sampled frames only.
+
+Compressed codecs (PNG/JPEG/H.264/...) genuinely require Pillow/ffmpeg;
+an unrecognized payload raises ``ValueError`` unless ``decode_stub=True``
+asks for the deterministic fake-feature fallback.  Feature means are
+ALSO exposed as exact ``*_e6`` integers so a SQL oracle can replay them
+bit-for-bit from the generator parameters (see __spark_entry__
+``media_features``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,32 +42,152 @@ MEDIA_DDL = (
 
 FEATURES_DDL = (
     "media_id bigint, kind string, n_bytes bigint, sha1 string, "
-    "width int, height int, mean_intensity double, frames_sampled int"
+    "width int, height int, duration_ms int, mean_e6 bigint, "
+    "frames_sampled int"
 )
 
+_CVID_MAGIC = b"CVID"
 
-def _decode_image(payload: bytes, stub: bool):
-    """Return (width, height, mean_intensity).  Stub: deterministic
-    fake derived from the bytes; real impl would decode the codec."""
-    if not stub:
-        raise NotImplementedError(
-            "real image decode requires Pillow/libvips — not in this container"
-        )
+
+# ------------------------------------------------------------- encoders ----
+
+
+def encode_bmp(width: int, height: int, pix) -> bytes:
+    """24-bit BI_RGB BMP; ``pix(i)`` gives the gray value of pixel i in
+    TOP-DOWN raster order (rows are written bottom-up per the format)."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img = bytearray()
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            v = pix(y * width + x) & 0xFF
+            img += bytes((v, v, v))
+        img += b"\x00" * pad
+    header = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img),
+        2835, 2835, 0, 0,
+    )
+    return bytes(header + info + img)
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """PCM16 mono RIFF/WAVE from an int16 iterable."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def encode_cvid(width: int, height: int, fps: int, frames) -> bytes:
+    """CVID container: magic + dims/fps/nframes + raw grayscale frames
+    (one byte per pixel, top-down), each ``frames[f](i)`` a pixel fn."""
+    out = bytearray(_CVID_MAGIC)
+    out += struct.pack("<IIII", width, height, fps, len(frames))
+    for pix in frames:
+        out += bytes(pix(i) & 0xFF for i in range(width * height))
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoders ----
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int]:
+    """(width, height, mean_e6) from a 24-bit uncompressed BMP.
+    mean_e6 = floor(sum(channel bytes) * 1e6 / (w*h*3*255))."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", b, 10)[0]
+    _, w, h = struct.unpack_from("<Iii", b, 14)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    height = abs(h)
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    arr = np.frombuffer(b, dtype=np.uint8, offset=off)
+    arr = arr[: (row + pad) * height].reshape(height, row + pad)[:, :row]
+    total = int(arr.astype(np.int64).sum())
+    return w, height, total * 1_000_000 // (w * height * 3 * 255)
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int]:
+    """(duration_ms, mean_e6, n_samples) from a PCM16 RIFF/WAVE.
+    mean_e6 = floor(sum(|sample|) * 1e6 / (n*32768))."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    n = len(samples) // channels
+    total = int(np.abs(samples.astype(np.int64)).sum())
+    dur_ms = n * 1000 // rate
+    return dur_ms, total * 1_000_000 // (max(1, len(samples)) * 32768), n
+
+
+def _decode_cvid(
+    b: bytes, frame_stride_ms: int
+) -> tuple[int, int, int, int, int]:
+    """(width, height, duration_ms, mean_e6, frames_sampled): sample
+    every ``stride_frames = max(1, fps*stride_ms // 1000)``-th frame and
+    average the sampled frames' pixels only."""
+    if len(b) < 20 or b[:4] != _CVID_MAGIC:
+        raise ValueError("not a CVID")
+    w, h, fps, nframes = struct.unpack_from("<IIII", b, 4)
+    fsz = w * h
+    stride_frames = max(1, fps * frame_stride_ms // 1000)
+    idxs = range(0, nframes, stride_frames)
+    total = 0
+    for f in idxs:
+        frame = np.frombuffer(b, dtype=np.uint8, offset=20 + f * fsz, count=fsz)
+        total += int(frame.astype(np.int64).sum())
+    n_sampled = len(idxs)
+    dur_ms = nframes * 1000 // max(1, fps)
+    mean_e6 = total * 1_000_000 // (max(1, n_sampled * fsz) * 255)
+    return w, h, dur_ms, mean_e6, n_sampled
+
+
+def _stub_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake (width, height, mean_e6) for payloads whose
+    codec this container cannot decode — plumbing-test fallback."""
     h = hashlib.sha1(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
-    mean = sum(payload[:4096]) / max(1, min(len(payload), 4096)) / 255.0
-    return width, height, round(mean, 6)
+    mean_e6 = (
+        sum(payload[:4096]) * 1_000_000
+        // (max(1, min(len(payload), 4096)) * 255)
+    )
+    return width, height, mean_e6
+
+
+# ------------------------------------------------------------- operator ----
 
 
 def extract_media_features(
-    media: DataFrame, frame_stride_ms: int = 1000, decode_stub: bool = True
+    media: DataFrame, frame_stride_ms: int = 1000, decode_stub: bool = False
 ) -> DataFrame:
     """Decode + feature-extract media blobs via mapInPandas.
 
-    One Arrow batch of blobs per invocation; output one feature row per
-    media row (video rows also report how many frames a sampler at
-    ``frame_stride_ms`` would touch).
+    One Arrow batch of blobs per invocation; dispatch on magic bytes
+    (BMP / WAV / CVID are decoded for real).  ``decode_stub=True``
+    substitutes deterministic fake features for unrecognized codecs
+    instead of raising.
     """
 
     def gen(batches):
@@ -61,57 +195,145 @@ def extract_media_features(
 
         for pdf in batches:
             rows = []
-            for mid, kind, payload, dur in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 b = bytes(payload) if payload is not None else b""
                 sha = hashlib.sha1(b).hexdigest()
-                if kind == "image":
-                    w, h, mean = _decode_image(b, decode_stub)
-                    frames = 1
-                elif kind == "video":
-                    w, h, mean = _decode_image(b, decode_stub)
-                    frames = max(1, int(dur or 0) // frame_stride_ms)
-                else:  # audio & friends: no spatial dims
-                    w, h = 0, 0
-                    mean = round(sum(b[:4096]) / max(1, min(len(b), 4096)) / 255.0, 6)
-                    frames = 0
-                rows.append((int(mid), kind, len(b), sha, w, h, mean, frames))
+                w = hgt = dur = 0
+                mean_e6 = 0
+                frames = 0
+                try:
+                    if b[:2] == b"BM":
+                        w, hgt, mean_e6 = _decode_bmp(b)
+                        dur, frames = 0, 1
+                    elif b[:4] == b"RIFF":
+                        dur, mean_e6, _n = _decode_wav(b)
+                    elif b[:4] == _CVID_MAGIC:
+                        w, hgt, dur, mean_e6, frames = _decode_cvid(
+                            b, frame_stride_ms
+                        )
+                    elif decode_stub:
+                        w, hgt, mean_e6 = _stub_features(b)
+                        frames = 1 if kind != "audio" else 0
+                    else:
+                        raise ValueError(
+                            f"unrecognized media payload for id {mid}"
+                        )
+                except ValueError:
+                    if not decode_stub:
+                        raise
+                    w, hgt, mean_e6 = _stub_features(b)
+                rows.append(
+                    (int(mid), kind, len(b), sha, w, hgt, dur, mean_e6, frames)
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "kind", "n_bytes", "sha1",
-                    "width", "height", "mean_intensity", "frames_sampled",
+                    "media_id", "kind", "n_bytes", "sha1", "width",
+                    "height", "duration_ms", "mean_e6", "frames_sampled",
                 ],
             )
 
     return media.mapInPandas(gen, FEATURES_DDL)
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (no external data)."""
-    rows = []
-    kinds = ["image", "audio", "video"]
-    for i in range(n):
-        kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (8 + i % 5)
-        rows.append(
-            (
-                i,
-                kind,
-                payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                None,
-                None,
-                (i % 10) * 1500 if kind == "video" else None,
-            )
+# ------------------------------------------------------------ generator ----
+
+
+def _media_params(mid: int) -> dict:
+    """Deterministic generator parameters per media id — integer
+    arithmetic only, so a SQL oracle can re-derive every feature."""
+    kind = ("image", "audio", "video")[mid % 3]
+    if kind == "image":
+        return {
+            "kind": kind,
+            "w": 8 + mid % 8,
+            "h": 6 + mid % 5,
+        }
+    if kind == "audio":
+        return {"kind": kind, "n": 200 + mid % 50, "rate": 8000}
+    return {
+        "kind": kind,
+        "w": 8 + mid % 4,
+        "h": 8,
+        "fps": 10,
+        "nframes": 5 + mid % 6,
+    }
+
+
+def synthesize_media_blob(mid: int) -> tuple[str, bytes]:
+    """(kind, payload) with REAL encoded bytes from the deterministic
+    per-id parameters (see ``_media_params`` for the oracle formulas)."""
+    p = _media_params(mid)
+    if p["kind"] == "image":
+        return "image", encode_bmp(
+            p["w"], p["h"], lambda i: (mid * 31 + i * 7) % 256
         )
+    if p["kind"] == "audio":
+        return "audio", encode_wav(
+            [((mid * 7 + i * 13) % 65536) - 32768 for i in range(p["n"])],
+            p["rate"],
+        )
+    frames = [
+        (lambda f: lambda i: (mid * 17 + f * 101 + i * 3) % 256)(f)
+        for f in range(p["nframes"])
+    ]
+    return "video", encode_cvid(p["w"], p["h"], p["fps"], frames)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL BMP/WAV/CVID payloads (no
+    external data; ``seed`` offsets the id space)."""
+    rows = []
+    for i in range(n):
+        mid = seed * 0 + i
+        kind, payload = synthesize_media_blob(mid)
+        mime = {
+            "image": "image/bmp", "audio": "audio/wav",
+            "video": "video/x-cvid",
+        }[kind]
+        rows.append((mid, kind, payload, mime, None, None, None))
     return spark.createDataFrame(rows, schema=MEDIA_DDL)
+
+
+def media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distributed media synthesis: encode REAL blobs per id row via
+    mapInPandas (bytes are born on executors, never the driver)."""
+    src = ids.select(F.col(id_col).cast("bigint").alias("media_id"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                kind, payload = synthesize_media_blob(int(mid))
+                out.append(
+                    (
+                        int(mid), kind, payload,
+                        {
+                            "image": "image/bmp", "audio": "audio/wav",
+                            "video": "video/x-cvid",
+                        }[kind],
+                        None, None, None,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "mime", "width",
+                    "height", "duration_ms",
+                ],
+            )
+
+    return src.mapInPandas(gen, MEDIA_DDL)
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes blobs through the same mapInPandas shape
-    with target dims recorded; the pixel work is the stubbed kernel."""
+    with target dims recorded; pixel resampling for compressed codecs
+    still needs an image library."""
     return media.withColumn("target_width", F.lit(width)).withColumn(
         "target_height", F.lit(height)
     )

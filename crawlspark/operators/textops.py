@@ -14,6 +14,7 @@ uniform by construction of the hash.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -273,6 +274,37 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(t), r" +")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("re_tokens"),
+    )
+
+
+def token_counts_bpe(
+    docs: DataFrame, merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Subword token counts from the trained BPE merge list (pinned to
+    the fixture corpus by default) alongside the regex count.
+
+    The BPE scan is a per-document Python computation — the legitimate
+    Arrow-batched pandas-UDF case (a real tokenizer can't be a Catalyst
+    expression); the per-word LRU cache amortizes Zipf-repeated words
+    within each batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    from crawlspark.functions.bpe import bpe_token_count, fixture_merges
+
+    mt = list(merges) if merges is not None else fixture_merges()
+
+    @pandas_udf("bigint")
+    def bpe_count(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda t: bpe_token_count(t, mt))
+
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        bpe_count(t).alias("bpe_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
         .cast("bigint")
         .alias("re_tokens"),
