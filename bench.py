@@ -54,6 +54,9 @@ HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", str(min(8, CPUS))))
 # (same config measured 37s..152s across a day); min is the standard
 # noise-robust estimator, and runs 2+ in the same JVM are JIT/UDF-warm
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# bloom-sidecar mode for the current crawl rep (set by --bloom in the
+# child process; one extra high-level rep measures it)
+BENCH_BLOOM = False
 CACHE = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE",
     f"/root/repo/.bench_cache/pages_{BENCH_PAGES}_{BENCH_HOSTS}",
@@ -251,6 +254,13 @@ def _crawl_once(spark, pages_path: str) -> dict:
         collect_logs=False,  # throughput mode: counters stay exact
         parallel_checkpoints=True,  # overlap end-of-wave commits + stats
         checkpoint_dir=ck_dir,
+        # bloom mode: the north rule's named structure — distributed
+        # (pid, bitmap) shard table probed by cogroup — plus salted
+        # hot-host sequencing; counters are pytest-identical either way
+        use_bloom_seen=BENCH_BLOOM,
+        salt_hot_hosts=BENCH_BLOOM,
+        bloom_partitions=8,
+        bloom_expected_per_partition=200_000,
     )
     eng = CrawlEngine(spark, pages, opts)
     t0 = time.perf_counter()
@@ -317,7 +327,7 @@ def _crawl_level(cores: int) -> dict:
     return best
 
 
-def _crawl_rep_subprocess(cores: int) -> dict:
+def _crawl_rep_subprocess(cores: int, bloom: bool = False) -> dict:
     """Run one scaling rep in a CHILD python process.
 
     A truly fresh JVM *and* Python driver per rep: a second
@@ -329,8 +339,11 @@ def _crawl_rep_subprocess(cores: int) -> dict:
     cluster size"."""
     import subprocess
 
+    args = [sys.executable, os.path.abspath(__file__), "--crawl-rep", str(cores)]
+    if bloom:
+        args.append("--bloom")
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-rep", str(cores)],
+        args,
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -387,6 +400,8 @@ def _queries_phase_subprocess() -> dict[str, float]:
 
 def main() -> None:
     if "--crawl-rep" in sys.argv:
+        global BENCH_BLOOM
+        BENCH_BLOOM = "--bloom" in sys.argv
         cores = int(sys.argv[sys.argv.index("--crawl-rep") + 1])
         print("LEVEL_JSON " + json.dumps(_crawl_rep(cores)), flush=True)
         return
@@ -412,6 +427,12 @@ def main() -> None:
         high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
     crawl_low = min(low_reps, key=lambda r: r["seconds"])
     crawl_high = min(high_reps, key=lambda r: r["seconds"])
+    # one bloom-sidecar rep at the high level: evidences the north
+    # rule's named structure under the same protocol
+    try:
+        crawl_bloom = _crawl_rep_subprocess(HIGH_CORES, bloom=True)
+    except RuntimeError:
+        crawl_bloom = None
 
     queries = _queries_phase_subprocess()
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
@@ -440,6 +461,18 @@ def main() -> None:
             "fetches": crawl_high["fetches"],
             "visits": crawl_high["visits"],
         },
+        "crawl_bloom": (
+            {
+                "seconds": round(crawl_bloom["seconds"], 2),
+                "urls_per_sec": round(crawl_bloom["urls_per_sec"], 1),
+                "fetches": crawl_bloom["fetches"],
+                "delivered_parallelism": crawl_bloom.get(
+                    "delivered_parallelism"
+                ),
+            }
+            if crawl_bloom
+            else None
+        ),
         "scaling": {
             "cores_low": LOW_CORES,
             "cores_high": HIGH_CORES,

@@ -184,6 +184,31 @@ class CrawlEngine:
             return self.spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
 
+    @staticmethod
+    def _parquet_rows(path: str) -> int | None:
+        """Exact row count of a parquet dir from footers only — a
+        driver-side metadata read, NOT a Spark job.  The wave loop uses
+        this to replace two per-wave isEmpty jobs (each a full
+        scheduler round-trip on the serial path) with file metadata the
+        durable commit just wrote."""
+        try:
+            import pyarrow.dataset as pads
+
+            return pads.dataset(path, format="parquet").count_rows()
+        except Exception:
+            return None
+
+    def _ckpt_counted(
+        self, df: DataFrame, name: str, wave: int
+    ) -> tuple[DataFrame, int | None]:
+        out = self._ckpt(df, name, wave)
+        if self.opts.checkpoint_dir:
+            subdir = f"wave={wave}" if wave >= 0 else "seed"
+            return out, self._parquet_rows(
+                os.path.join(self.opts.checkpoint_dir, subdir, name)
+            )
+        return out, None
+
     def _seed_candidates(self, seeds) -> DataFrame:
         rows = [
             (url, None, None, state, None, 0, "", i, 0)
@@ -234,6 +259,9 @@ class CrawlEngine:
                 os.path.join(ckdir, f"wave={last}", "host_state")
             ),
             "candidates": self.spark.read.parquet(
+                os.path.join(ckdir, f"wave={last}", "candidates")
+            ),
+            "cand_rows": self._parquet_rows(
                 os.path.join(ckdir, f"wave={last}", "candidates")
             ),
             "wave": wave,
@@ -305,6 +333,10 @@ class CrawlEngine:
         _t0 = _tick("seed_setup", _t0)
 
         deferred = self._empty(DEFER_DDL)
+        # driver-known row counts of the two loop-carried frontiers
+        # (None = unknown → fall back to an isEmpty job)
+        cand_rows: int | None = n_seeds
+        deferred_rows: int | None = 0
         seen_parts: list[DataFrame] = [self._empty(SEEN_DDL)]
         visit_parts: list[DataFrame] = [self._empty(VISIT_LOG_DDL)]
         fetch_parts: list[DataFrame] = [self._empty(FETCH_LOG_DDL)]
@@ -321,6 +353,7 @@ class CrawlEngine:
             seen_snapshot_wave = resume_state.get("seen_snapshot_wave")
             host_state = resume_state["host_state"]
             candidates = resume_state["candidates"]
+            cand_rows = resume_state.get("cand_rows")
             wave = resume_state["wave"]
             visits_total = resume_state.get("visits_total", 0)
             for key, val in resume_state.get("counters", {}).items():
@@ -363,8 +396,19 @@ class CrawlEngine:
 
         while wave < opts.max_waves:
             _t = _wave_t0 = _time.perf_counter()
-            if candidates.isEmpty() and deferred.isEmpty():
-                break
+            # fixpoint check from commit metadata when known (parquet
+            # footers / counters); only unknown counts pay an isEmpty job
+            cand_empty = (
+                cand_rows == 0 if cand_rows is not None else candidates.isEmpty()
+            )
+            if cand_empty:
+                defer_empty = (
+                    deferred_rows == 0
+                    if deferred_rows is not None
+                    else deferred.isEmpty()
+                )
+                if defer_empty:
+                    break
             _t = _tick("isEmpty", _t)
             seen = reduce(DataFrame.unionByName, seen_parts)
 
@@ -553,10 +597,13 @@ class CrawlEngine:
                 deferred_new = page_rows.filter(F.col("_rn_host") > cap).select(
                     *DEFER_COLS
                 )
-                deferred = self._ckpt(deferred_new, "deferred", wave)
+                deferred, deferred_rows = self._ckpt_counted(
+                    deferred_new, "deferred", wave
+                )
                 page_rows = page_rows.filter(F.col("_rn_host") <= cap)
             else:
                 deferred = self._empty(DEFER_DDL)
+                deferred_rows = 0
             page_rows = page_rows.drop("_rn_host")
 
             # ---- fetch join ---------------------------------------------
@@ -911,7 +958,9 @@ class CrawlEngine:
             # lineage-metrics commit then only scan warm caches — under
             # ``parallel_checkpoints`` they overlap as one burst of
             # concurrent cache-only jobs.
-            candidates = self._ckpt(next_candidates, "candidates", wave)
+            candidates, cand_rows = self._ckpt_counted(
+                next_candidates, "candidates", wave
+            )
             _t = _tick("ckpt_candidates", _t)
             if opts.parallel_checkpoints:
                 from concurrent.futures import ThreadPoolExecutor
@@ -1091,6 +1140,8 @@ class CrawlEngine:
                     schema=CANDIDATE_DDL,
                 ).localCheckpoint(eager=True)
                 candidates = candidates.unionByName(injected)
+                if cand_rows is not None:
+                    cand_rows += len(self._pending)
                 self._pending = []
             _t = _tick("wave_end_hooks", _t)
 
