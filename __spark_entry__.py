@@ -306,6 +306,12 @@ def _q_token_count(spark, sf):
     return token_counts(_t(spark, sf, "documents"))
 
 
+def _q_lang_id_trigram(spark, sf):
+    from crawlspark.functions.langid import lang_id_trigram
+
+    return lang_id_trigram(_t(spark, sf, "documents"))
+
+
 def _q_token_count_bpe(spark, sf):
     from crawlspark.operators.textops import token_counts_bpe
 
@@ -373,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "lang_id_trigram": _q_lang_id_trigram,
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -415,6 +422,35 @@ pairs AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
+"""
+
+
+def _lang_id_trigram_sql() -> str:
+    from crawlspark.functions.langid import profiles_values_sql
+
+    return f"""
+WITH tris AS (
+  SELECT doc_id, unnest(list_transform(
+           range(0, greatest(length(lower(text)) - 2, 0)),
+           i -> substr(lower(text), CAST(i + 1 AS INTEGER), 3))) AS tg
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang, COUNT(*) AS score
+  FROM tris JOIN {profiles_values_sql()} USING (tg)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM counts
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS lang,
+       CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.doc_id = d.doc_id
 """
 
 
@@ -690,6 +726,7 @@ FROM documents
         # delimiter-per-symbol makes plain left-to-right replace
         # reproduce the canonical merge scan exactly)
         "token_count_bpe": _token_count_bpe_sql(),
+        "lang_id_trigram": _lang_id_trigram_sql(),
         "doc_fingerprint": "WITH " + _SHINGLES_CTE + """,
 fps AS (SELECT doc_id, MIN(md5(shingle)) AS fp FROM (
   SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-3,0)),

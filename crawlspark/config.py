@@ -173,6 +173,11 @@ class Options:
     bloom_expected_per_partition: int = 1_000_000
     bloom_fpp: float = 0.01
     checkpoint_dir: str | None = None  # None → in-memory localCheckpoint
+    # durable-state backend override (sources/statestore.py StateStore);
+    # None → ParquetStateStore(checkpoint_dir) when checkpoint_dir is
+    # set.  On a cluster pass IcebergStateStore(spark, catalog=...) —
+    # the engine's commit points and read-back contract are identical.
+    state_store: object | None = None
     max_waves: int = 1000  # safety stop for the fixpoint loop
     collect_logs: bool = True  # False: skip visit/fetch/error logs
     # (counters stay exact) — the throughput configuration

@@ -1,0 +1,120 @@
+"""Character-trigram language identification (Cavnar & Trenkle-style
+n-gram profiles, public-knowledge technique).
+
+Profiles are the top-K most frequent character trigrams of small
+built-in sample texts (written here, no external data) — deterministic:
+ties break lexicographically.  A document's score per language is the
+number of its trigram OCCURRENCES found in that language's profile;
+the label is the argmax (ties → lexicographically first language,
+'und' when nothing matches).
+
+Everything downstream is JVM-side column expressions (trigram explode →
+broadcast profile join → count → argmax window) and replays exactly in
+SQL, so the `lang_id_trigram` query is hash-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SAMPLES: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog it was a bright "
+        "cold day in april and the clocks were striking thirteen all "
+        "happy families are alike this is a story about the people who "
+        "lived there and the things that they did with their time"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund es war "
+        "ein heller kalter tag im april und die uhren schlugen dreizehn "
+        "alle gluecklichen familien sind einander aehnlich dies ist eine "
+        "geschichte ueber die menschen die dort lebten und was sie taten"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux "
+        "c etait une journee claire et froide d avril et les horloges "
+        "sonnaient treize heures toutes les familles heureuses se "
+        "ressemblent c est une histoire sur les gens qui vivaient la"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso era un "
+        "dia luminoso y frio de abril y los relojes daban las trece "
+        "todas las familias felices se parecen esta es una historia "
+        "sobre la gente que vivia alli y las cosas que hacia"
+    ),
+}
+
+
+def trigram_profiles(k: int = 40) -> dict[str, list[str]]:
+    """Top-k trigrams per language from the built-in samples;
+    deterministic (count desc, trigram asc)."""
+    out: dict[str, list[str]] = {}
+    for lang, text in _SAMPLES.items():
+        c = Counter(
+            text[i:i + 3] for i in range(len(text) - 2)
+        )
+        out[lang] = [
+            t for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        ]
+    return out
+
+
+def lang_id_trigram(
+    docs: DataFrame, text_col: str = "text", k: int = 40
+) -> DataFrame:
+    """(doc_id, lang, score): trigram-profile language ID.  Pure column
+    expressions + one broadcast join; 'und' when no profile trigram
+    occurs."""
+    spark = docs.sparkSession
+    profiles = trigram_profiles(k)
+    prof = spark.createDataFrame(
+        [(lang, t) for lang, ts in sorted(profiles.items()) for t in ts],
+        "lang string, tg string",
+    )
+    t = F.lower(F.col(text_col))
+    # guard: sequence(0, -1) would DESCEND in Spark; short texts get an
+    # empty index array instead
+    idx = F.when(
+        F.length(t) >= 3, F.sequence(F.lit(0), F.length(t) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: t.substr(i + 1, F.lit(3)))
+        ).alias("tg"),
+    )
+    counts = (
+        tris.join(F.broadcast(prof), on="tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang")
+    )
+    best = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("bigint").alias("score"),
+        )
+    )
+
+
+def profiles_values_sql(k: int = 40) -> str:
+    """The profile table as a SQL VALUES list for the DuckDB oracle."""
+    rows = ", ".join(
+        f"('{lang}', '{t}')"
+        for lang, ts in sorted(trigram_profiles(k).items())
+        for t in ts
+    )
+    return f"(VALUES {rows}) AS prof(lang, tg)"

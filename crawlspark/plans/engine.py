@@ -140,6 +140,16 @@ class CrawlEngine:
         self._robots_parse = make_robots_parse_udf(self.opts.robot_user_agent)
         self._canon = make_canonicalize_udf(self.opts.url_normalization_flags)
         self._log_lines: list[str] = []
+        # durable-state seam (sources/statestore.py): parquet analog in
+        # this sandbox, IcebergStateStore on a cluster with a catalog
+        if self.opts.state_store is not None:
+            self._store = self.opts.state_store
+        elif self.opts.checkpoint_dir:
+            from crawlspark.sources.statestore import ParquetStateStore
+
+            self._store = ParquetStateStore(spark, self.opts.checkpoint_dir)
+        else:
+            self._store = None
 
     def _log(self, min_level: int, msg: str) -> None:
         """Leveled log emission (getLogFunc analog, logger.go:21-29):
@@ -174,14 +184,11 @@ class CrawlEngine:
         return self.spark.createDataFrame([], schema=ddl)
 
     def _ckpt(self, df: DataFrame, name: str, wave: int) -> DataFrame:
-        if self.opts.checkpoint_dir:
-            # seed-stage state (wave < 0) lives under seed/, outside the
-            # wave=* namespace: every wave=* dir carries a metrics table
-            # (per-partition lineage contract), which seed setup has none of
-            subdir = f"wave={wave}" if wave >= 0 else "seed"
-            path = os.path.join(self.opts.checkpoint_dir, subdir, name)
-            df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
+        # seed-stage state (wave < 0) lives under seed/, outside the
+        # wave=* namespace: every wave=* dir carries a metrics table
+        # (per-partition lineage contract), which seed setup has none of
+        if self._store is not None:
+            return self._store.commit(df, name, wave)
         return df.localCheckpoint(eager=True)
 
     @staticmethod
@@ -202,11 +209,8 @@ class CrawlEngine:
         self, df: DataFrame, name: str, wave: int
     ) -> tuple[DataFrame, int | None]:
         out = self._ckpt(df, name, wave)
-        if self.opts.checkpoint_dir:
-            subdir = f"wave={wave}" if wave >= 0 else "seed"
-            return out, self._parquet_rows(
-                os.path.join(self.opts.checkpoint_dir, subdir, name)
-            )
+        if self._store is not None:
+            return out, self._store.rows(name, wave)
         return out, None
 
     def _seed_candidates(self, seeds) -> DataFrame:
@@ -909,7 +913,7 @@ class CrawlEngine:
             # committed with every wave in checkpoint mode so a resumed
             # crawl can audit exactly which partition produced what
             def _commit_lineage():
-                if not self.opts.checkpoint_dir:
+                if self._store is None:
                     return None
                 lineage = (
                     adm.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -943,11 +947,7 @@ class CrawlEngine:
                         )
                     )
                 )
-                lineage.write.mode("overwrite").parquet(
-                    os.path.join(
-                        self.opts.checkpoint_dir, f"wave={wave}", "metrics"
-                    )
-                )
+                self._store.commit(lineage, "metrics", wave)
                 return None
 
             # ---- checkpoint + advance -----------------------------------
