@@ -42,10 +42,14 @@ def politeness_schedule(
     Everything is window arithmetic over the host partition — one
     shuffle by host, no UDFs, whole-stage codegen throughout.
     """
-    # url_norm before fetch_rank: deterministic under ord_seq hash
-    # collisions (DataFrame seeds), while a HEAD and its GET (same url)
-    # still sort adjacent by rank
-    ord_all = ORD_COLS + ["url_norm", "fetch_rank"]
+    # url_norm (when present) before fetch_rank: deterministic under
+    # ord_seq hash collisions (DataFrame seeds), while a HEAD and its
+    # GET (same url) still sort adjacent by rank
+    ord_all = (
+        ORD_COLS
+        + (["url_norm"] if "url_norm" in batch.columns else [])
+        + ["fetch_rank"]
+    )
     w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ord_all])
     # NOTE on ordering: robots (rank 0) sorts before pages; a HEAD and
     # its GET share ORD_COLS, and (rank==2) sorts the GET directly
