@@ -57,6 +57,11 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # bloom-sidecar mode for the current crawl rep (set by --bloom in the
 # child process; one extra high-level rep measures it)
 BENCH_BLOOM = False
+# big-seen mode: pre-populate the URL-seen table with this many
+# non-overlapping URLs before the crawl (the mid-frontier regime where
+# the seen set dwarfs each wave — the 10^10 shape the bloom sidecar
+# exists for).  0 = off.
+BENCH_BIGSEEN = 0
 CACHE = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE",
     f"/root/repo/.bench_cache/pages_{BENCH_PAGES}_{BENCH_HOSTS}",
@@ -152,11 +157,14 @@ def _calibrate(cpus: list[int] | None, per_proc_sec: float = 0.3) -> float:
         return 0.0
     ctx = mp.get_context("fork")
     q = ctx.Queue()
-    # single-process baseline
-    p = ctx.Process(target=spin, args=(cpus[0], per_proc_sec, q))
-    p.start()
-    p.join()
-    base = q.get()
+    # single-process baseline: best of two runs — a descheduled
+    # baseline otherwise inflates the ratio into impossible territory
+    base = 0
+    for _ in range(2):
+        p = ctx.Process(target=spin, args=(cpus[0], per_proc_sec, q))
+        p.start()
+        p.join()
+        base = max(base, q.get())
     procs = [
         ctx.Process(target=spin, args=(c, per_proc_sec, q)) for c in cpus
     ]
@@ -254,21 +262,47 @@ def _crawl_once(spark, pages_path: str) -> dict:
         collect_logs=False,  # throughput mode: counters stay exact
         parallel_checkpoints=True,  # overlap end-of-wave commits + stats
         checkpoint_dir=ck_dir,
-        # bloom mode: the north rule's named structure — distributed
-        # (pid, bitmap) shard table probed by cogroup — plus salted
-        # hot-host sequencing; counters are pytest-identical either way
+        # bloom mode: the north rule's named structure — (pid, bitmap)
+        # shard table, pure-JVM broadcast-join probe; counters are
+        # pytest-identical either way
         use_bloom_seen=BENCH_BLOOM,
-        salt_hot_hosts=BENCH_BLOOM,
         bloom_partitions=8,
-        bloom_expected_per_partition=200_000,
+        bloom_expected_per_partition=500_000,
     )
     eng = CrawlEngine(spark, pages, opts)
+    initial_seen = None
+    if BENCH_BIGSEEN > 0:
+        # synthetic already-seen URLs on hosts DISJOINT from the crawl
+        # graph: admission outcomes (and so every counter) stay
+        # identical to the fresh-run bench, but every wave's visited
+        # probe must face a seen table ~10x the wave size — exactly
+        # what the bloom pre-filter prunes
+        from pyspark.sql import functions as F
+
+        initial_seen = (
+            spark.range(BENCH_BIGSEEN)
+            .select(
+                F.format_string(
+                    "http://big%d.seen/p%d.html", F.col("id") % 50_000,
+                    F.col("id"),
+                ).alias("url_norm"),
+                F.format_string("big%d.seen", F.col("id") % 50_000).alias(
+                    "host"
+                ),
+                F.lit(-1).alias("wave_added"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism * 2)
+            .persist()
+        )
+        initial_seen.count()  # materialize outside the timed window
     t0 = time.perf_counter()
-    res = eng.run(_seeds_df(spark))
+    res = eng.run(_seeds_df(spark), initial_seen=initial_seen)
     dt = time.perf_counter() - t0
     # free this run's pages cache so repeated reps don't stack copies
     pages.pages.unpersist()
     pages.robots_pages.unpersist()
+    if initial_seen is not None:
+        initial_seen.unpersist()
     # ... and every surviving block (persisted wave caches), then force
     # one driver GC at this idle point: the ContextCleaner only releases
     # shuffle files and per-wave broadcasts when their references are
@@ -297,17 +331,20 @@ def _crawl_rep(cores: int) -> dict:
     """One scaling rep: pin to the ``cores`` most-idle OS CPUs, measure
     delivered parallelism, fresh JVM, small warmup crawl (JIT/codegen/
     Arrow-path warm), then ONE measured run."""
-    global BENCH_SEEDS, BENCH_WAVES
+    global BENCH_SEEDS, BENCH_WAVES, BENCH_BIGSEEN
     cpus = _pin_cpus(cores)
     delivered = _calibrate(cpus)
     spark = _session(cores, cores)
     pages_path = _ensure_pages(spark)
     real_seeds, real_waves = BENCH_SEEDS, BENCH_WAVES
+    real_bigseen = BENCH_BIGSEEN
     BENCH_SEEDS, BENCH_WAVES = min(10_000, real_seeds), min(2, real_waves)
+    BENCH_BIGSEEN = min(100_000, real_bigseen)
     try:
         _crawl_once(spark, pages_path)  # warmup, untimed
     finally:
         BENCH_SEEDS, BENCH_WAVES = real_seeds, real_waves
+        BENCH_BIGSEEN = real_bigseen
     rep = _crawl_once(spark, pages_path)
     rep["delivered_parallelism"] = delivered
     rep["cpus"] = cpus
@@ -327,7 +364,9 @@ def _crawl_level(cores: int) -> dict:
     return best
 
 
-def _crawl_rep_subprocess(cores: int, bloom: bool = False) -> dict:
+def _crawl_rep_subprocess(
+    cores: int, bloom: bool = False, bigseen: int = 0
+) -> dict:
     """Run one scaling rep in a CHILD python process.
 
     A truly fresh JVM *and* Python driver per rep: a second
@@ -342,6 +381,8 @@ def _crawl_rep_subprocess(cores: int, bloom: bool = False) -> dict:
     args = [sys.executable, os.path.abspath(__file__), "--crawl-rep", str(cores)]
     if bloom:
         args.append("--bloom")
+    if bigseen:
+        args += ["--bigseen", str(bigseen)]
     proc = subprocess.run(
         args,
         capture_output=True,
@@ -398,10 +439,23 @@ def _queries_phase_subprocess() -> dict[str, float]:
     )
 
 
+def _brief(rep: dict | None) -> dict | None:
+    if not rep:
+        return None
+    return {
+        "seconds": round(rep["seconds"], 2),
+        "urls_per_sec": round(rep["urls_per_sec"], 1),
+        "fetches": rep["fetches"],
+        "delivered_parallelism": rep.get("delivered_parallelism"),
+    }
+
+
 def main() -> None:
     if "--crawl-rep" in sys.argv:
-        global BENCH_BLOOM
+        global BENCH_BLOOM, BENCH_BIGSEEN
         BENCH_BLOOM = "--bloom" in sys.argv
+        if "--bigseen" in sys.argv:
+            BENCH_BIGSEEN = int(sys.argv[sys.argv.index("--bigseen") + 1])
         cores = int(sys.argv[sys.argv.index("--crawl-rep") + 1])
         print("LEVEL_JSON " + json.dumps(_crawl_rep(cores)), flush=True)
         return
@@ -433,6 +487,20 @@ def main() -> None:
         crawl_bloom = _crawl_rep_subprocess(HIGH_CORES, bloom=True)
     except RuntimeError:
         crawl_bloom = None
+    # big-seen A/B at the high level: pre-populate seen with 10x the
+    # wave size (the mid-frontier / 10^10 regime).  Counters are
+    # identical in all four crawl modes (disjoint hosts); the bloom
+    # pre-filter's job is to win THIS pair, not the cold-start one.
+    bigseen_n = int(
+        os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "3000000")
+    )
+    try:
+        crawl_bigseen = _crawl_rep_subprocess(HIGH_CORES, bigseen=bigseen_n)
+        crawl_bigseen_bloom = _crawl_rep_subprocess(
+            HIGH_CORES, bloom=True, bigseen=bigseen_n
+        )
+    except RuntimeError:
+        crawl_bigseen = crawl_bigseen_bloom = None
 
     queries = _queries_phase_subprocess()
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
@@ -461,18 +529,15 @@ def main() -> None:
             "fetches": crawl_high["fetches"],
             "visits": crawl_high["visits"],
         },
-        "crawl_bloom": (
-            {
-                "seconds": round(crawl_bloom["seconds"], 2),
-                "urls_per_sec": round(crawl_bloom["urls_per_sec"], 1),
-                "fetches": crawl_bloom["fetches"],
-                "delivered_parallelism": crawl_bloom.get(
-                    "delivered_parallelism"
-                ),
-            }
-            if crawl_bloom
-            else None
-        ),
+        "crawl_bloom": _brief(crawl_bloom),
+        "crawl_bigseen": dict(_brief(crawl_bigseen) or {}, seen=bigseen_n)
+        if crawl_bigseen
+        else None,
+        "crawl_bigseen_bloom": dict(
+            _brief(crawl_bigseen_bloom) or {}, seen=bigseen_n
+        )
+        if crawl_bigseen_bloom
+        else None,
         "scaling": {
             "cores_low": LOW_CORES,
             "cores_high": HIGH_CORES,

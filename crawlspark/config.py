@@ -172,6 +172,11 @@ class Options:
     bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000
     bloom_fpp: float = 0.01
+    # probe strategy: "join" broadcasts the shard words and bit-tests
+    # in pure JVM expressions (no Python, no candidate shuffle — the
+    # fast path while the filter fits a broadcast); "cogroup" keeps
+    # shards fully distributed (the ~12 GB 10^10-URL regime)
+    bloom_probe: str = "join"
     checkpoint_dir: str | None = None  # None → in-memory localCheckpoint
     # durable-state backend override (sources/statestore.py StateStore);
     # None → ParquetStateStore(checkpoint_dir) when checkpoint_dir is

@@ -74,13 +74,20 @@ def lang_id_trigram(
         [(lang, t) for lang, ts in sorted(profiles.items()) for t in ts],
         "lang string, tg string",
     )
-    t = F.lower(F.col(text_col))
+    # materialize lower(text) ONCE per row: referencing the expression
+    # inside the transform lambda re-evaluates it per array element —
+    # O(len²) character copying per document (measured 41s → ~1s at
+    # sf0.1)
+    lowered = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("_t")
+    )
+    t = F.col("_t")
     # guard: sequence(0, -1) would DESCEND in Spark; short texts get an
     # empty index array instead
     idx = F.when(
         F.length(t) >= 3, F.sequence(F.lit(0), F.length(t) - 3)
     ).otherwise(F.array().cast("array<int>"))
-    tris = docs.select(
+    tris = lowered.select(
         "doc_id",
         F.explode(
             F.transform(idx, lambda i: t.substr(i + 1, F.lit(3)))

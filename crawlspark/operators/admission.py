@@ -85,9 +85,14 @@ def admit_candidates(
         "_seen", F.lit(True)
     )
     if bloom_df is not None:
-        from crawlspark.operators.seen import apply_bloom_df
+        from crawlspark.operators.seen import apply_bloom_df, apply_bloom_join
 
-        df = apply_bloom_df(
+        apply = (
+            apply_bloom_join
+            if getattr(opts, "bloom_probe", "join") == "join"
+            else apply_bloom_df
+        )
+        df = apply(
             df,
             bloom_df,
             url_col="url_norm",
@@ -95,13 +100,29 @@ def admit_candidates(
             expected_per_partition=opts.bloom_expected_per_partition,
             fpp=opts.bloom_fpp,
         )
-        maybe = df.filter(F.col("maybe_seen")).join(
-            seen_side, F.col("url_norm") == F.col("_seen_url"), "left"
-        ).drop("_seen_url")
-        nope = df.filter(~F.col("maybe_seen")).withColumn(
-            "_seen", F.lit(None).cast("boolean")
+        if pin is not None:
+            df = pin(df)  # maybe_keys forks df — evaluate the probe once
+        # THE structural win: the bloom bounds the maybe-set to true
+        # dups + fpp, small enough to BROADCAST — so the exact check
+        # becomes seen ⋉ maybe_keys (scan-only semi-join; the big seen
+        # table is never shuffled) followed by a broadcast join of the
+        # matched keys back onto the candidates.  The plain path's
+        # left-outer join must exchange the whole seen table every
+        # wave — at a 10^10-row frontier that exchange IS the crawl's
+        # dominant cost.
+        maybe_keys = (
+            df.filter(F.col("maybe_seen")).select("url_norm").distinct()
         )
-        df = maybe.unionByName(nope).drop("maybe_seen")
+        matched = seen_side.join(
+            F.broadcast(maybe_keys),
+            F.col("_seen_url") == F.col("url_norm"),
+            "left_semi",
+        )
+        df = df.join(
+            F.broadcast(matched),
+            df["url_norm"] == F.col("_seen_url"),
+            "left",
+        ).drop("_seen_url", "maybe_seen")
     else:
         df = df.join(
             seen_side, df["url_norm"] == F.col("_seen_url"), "left"

@@ -70,11 +70,18 @@ def build_bloom(
     def make(key, pdf):
         import pandas as pd
 
+        # overflow-free double hashing, identical on every probe path:
+        # idx_i = (h1 mod m + i·(h2 mod m)) mod m.  All residues are
+        # < m (MB-scale), so the arithmetic stays exact in int64 —
+        # required because the JVM probe runs under ANSI mode where a
+        # wrapped h1 + i·h2 would throw, and wrapped vs exact residues
+        # differ (2^64 is not a multiple of m)
         bits = np.zeros(m, dtype=bool)
-        h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
-        h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+        mm = np.int64(m)
+        h1 = np.mod(pdf["_h1"].to_numpy(dtype=np.int64), mm)
+        h2 = np.mod(pdf["_h2"].to_numpy(dtype=np.int64), mm)
         for i in range(k):
-            idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            idx = np.mod(h1 + np.int64(i) * h2, mm)
             bits[idx] = True
         return pd.DataFrame(
             {"pid": [int(key[0])], "bitmap": [np.packbits(bits).tobytes()]}
@@ -125,8 +132,8 @@ def apply_bloom(
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
-            h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h1 = pdf["_h1"].to_numpy(dtype=np.int64)
+            h2 = pdf["_h2"].to_numpy(dtype=np.int64)
             pid = pdf["_pid"].to_numpy()
             maybe = np.zeros(len(pdf), dtype=bool)
             # group rows by shard, vectorized bit tests
@@ -135,11 +142,11 @@ def apply_bloom(
                 arr = shard_map.get(int(p))
                 if arr is None:
                     continue  # empty shard → definitely unseen
-                mm = np.uint64(arr.size * 8)
+                mm = np.int64(arr.size * 8)
                 acc = np.ones(int(sel.sum()), dtype=bool)
-                hh1, hh2 = h1[sel], h2[sel]
+                hh1, hh2 = np.mod(h1[sel], mm), np.mod(h2[sel], mm)
                 for i in range(k):
-                    idx = ((hh1 + np.uint64(i) * hh2) % mm).astype(np.int64)
+                    idx = np.mod(hh1 + np.int64(i) * hh2, mm)
                     byte = arr[idx >> 3]
                     bit = (byte >> (7 - (idx & 7).astype(np.uint8))) & 1
                     acc &= bit.astype(bool)
@@ -152,6 +159,93 @@ def apply_bloom(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     )
     return hashed.mapInPandas(test, schema + ", maybe_seen boolean")
+
+
+def apply_bloom_join(
+    candidates: DataFrame,
+    shards: DataFrame,
+    url_col: str = "url_norm",
+    num_partitions: int = 32,
+    expected_per_partition: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Annotate candidates with ``maybe_seen`` — PURE-JVM probe.
+
+    The shard bitmaps (MB-scale total) convert once per wave into
+    ``array<bigint>`` word rows and broadcast-join onto the candidates
+    by pid; the k double-hash bit tests are ``element_at`` + unsigned
+    shifts inside whole-stage codegen.  No Python in the probe, no
+    extra shuffle of the candidate rows (vs the cogroup form, which
+    Arrow-round-trips every candidate and shuffles them by pid).
+
+    This is the executor-cheap path while the total filter fits a
+    broadcast (up to GB-scale); beyond that — the full 10^10-URL
+    regime, ~12 GB of shards — use :func:`apply_bloom_df`, which keeps
+    shards fully distributed.
+    """
+    import pandas as pd
+
+    m, k = bloom_params(expected_per_partition, fpp)
+
+    def to_words(pdf):
+        out = []
+        for pid, b in zip(pdf["pid"], pdf["bitmap"]):
+            arr = np.frombuffer(b, dtype=np.uint8)
+            m_bits = int(arr.size * 8)  # BUILD size — before word padding
+            pad = (-arr.size) % 8
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+            words = arr.view("<u8").astype(np.int64)
+            out.append((int(pid), m_bits, words.tolist()))
+        return pd.DataFrame(out, columns=["pid", "m_bits", "words"])
+
+    word_rows = shards.groupBy("pid").applyInPandas(
+        lambda key, pdf: to_words(_or_shard(pdf)),
+        "pid int, m_bits bigint, words array<bigint>",
+    )
+
+    hashed = _with_hashes(candidates, url_col, num_partitions)
+    joined = hashed.join(
+        F.broadcast(word_rows), hashed["_pid"] == word_rows["pid"], "left"
+    )
+    # bit test i: idx = pmod(h1 + i*h2, m); byte b = idx>>3 (packbits
+    # big-endian within byte); little-endian u8 words → the byte sits at
+    # shift (b%8)*8, its tested bit at 7-(idx&7) within the byte.
+    # Built as SQL text because the Python shiftrightunsigned wrapper
+    # only accepts a literal shift; the SQL form takes any expression.
+    conds = []
+    for i in range(k):
+        idx = (
+            f"pmod(pmod(_h1, m_bits) + {i}L * pmod(_h2, m_bits), m_bits)"
+        )
+        word = f"element_at(words, cast(shiftright({idx}, 6) as int) + 1)"
+        shift = (
+            f"cast((shiftright({idx}, 3) % 8) * 8 + 7 - ({idx} % 8) as int)"
+        )
+        conds.append(f"((shiftrightunsigned({word}, {shift}) & 1) = 1)")
+    maybe = F.expr(
+        "CASE WHEN words IS NULL THEN false ELSE ("
+        + " AND ".join(conds)
+        + ") END"
+    )
+    return joined.select(
+        *[hashed[c] for c in candidates.columns],
+        maybe.alias("maybe_seen"),
+    )
+
+
+def _or_shard(pdf):
+    """OR together possibly-unmerged increment rows of one pid."""
+    import pandas as pd
+
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
+    size = max(a.size for a in arrs)
+    acc = np.zeros(size, dtype=np.uint8)
+    for a in arrs:
+        acc[: a.size] |= a
+    return pd.DataFrame(
+        {"pid": [int(pdf["pid"].iloc[0])], "bitmap": [acc.tobytes()]}
+    )
 
 
 def apply_bloom_df(
@@ -198,12 +292,12 @@ def apply_bloom_df(
         bits = np.zeros(size, dtype=np.uint8)
         for a in arrs:
             bits[: a.size] |= a
-        h1 = cand_pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
-        h2 = cand_pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
-        mm = np.uint64(bits.size * 8)
+        mm = np.int64(bits.size * 8)
+        h1 = np.mod(cand_pdf["_h1"].to_numpy(dtype=np.int64), mm)
+        h2 = np.mod(cand_pdf["_h2"].to_numpy(dtype=np.int64), mm)
         acc = np.ones(len(cand_pdf), dtype=bool)
         for i in range(k):
-            idx = ((h1 + np.uint64(i) * h2) % mm).astype(np.int64)
+            idx = np.mod(h1 + np.int64(i) * h2, mm)
             byte = bits[idx >> 3]
             bit = (byte >> (7 - (idx & 7).astype(np.uint8))) & 1
             acc &= bit.astype(bool)

@@ -225,6 +225,13 @@ def cosine_near_dup_lsh(
     bucket shuffle, instead of an O(n²) broadcast nested loop.  Recall
     is tunable via `planes` (fewer planes → bigger buckets → higher
     recall); results are always a subset of :func:`cosine_near_dup`.
+
+    INPUT-SCALE CONTRACT: the integer test ``dot²·10⁴ ≥ t²·|a|²·|b|²``
+    assumes e3-quantized norms ≤ ~3e5 per side (any unit-scale
+    embedding); beyond that the bigint product can wrap silently in
+    non-ANSI Spark.  For arbitrary-scale inputs use
+    :func:`cosine_near_dup_block`, whose kernel detects the bound and
+    switches to arbitrary-precision arithmetic.
     """
     buckets = srp_bucket(emb, planes, vec_col)
     q = (

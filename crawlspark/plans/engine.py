@@ -274,7 +274,17 @@ class CrawlEngine:
         }
         return self.run(seeds, resume_state=state)
 
-    def run(self, seeds, resume_state: dict | None = None) -> CrawlResult:
+    def run(
+        self,
+        seeds,
+        resume_state: dict | None = None,
+        initial_seen: DataFrame | None = None,
+    ) -> CrawlResult:
+        """``initial_seen``: pre-populated URL-seen table (url_norm,
+        host, wave_added) — the mid-frontier shape where the seen set
+        dwarfs each wave (a fresh run otherwise starts empty;
+        ``resume_state`` takes precedence).  The Bloom sidecar, when
+        enabled, is seeded from it like any other seen state."""
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -309,11 +319,13 @@ class CrawlEngine:
             )
         else:
             candidates = self._seed_candidates(seeds)
-        candidates = self._ckpt(candidates, "seed_candidates", -1)
+        candidates, _n_seeds_meta = self._ckpt_counted(
+            candidates, "seed_candidates", -1
+        )
 
         # seed hosts (crawler.go:80-86): normalized hosts of ALL seeds,
         # before any policy filtering
-        seed_hosts = self._ckpt(
+        seed_hosts, _n_hosts_meta = self._ckpt_counted(
             candidates.withColumn("_c", self._canon(F.col("url")))
             .select(F.col("_c.host").alias("seed_host"))
             .filter(F.col("seed_host").isNotNull() & (F.col("seed_host") != ""))
@@ -321,7 +333,11 @@ class CrawlEngine:
             "seed_hosts",
             -1,
         )
-        if opts.parallel_checkpoints:
+        # both tables were just durably committed — take the counts
+        # from commit metadata (footers) instead of two count jobs
+        if _n_seeds_meta is not None and _n_hosts_meta is not None:
+            n_seeds, n_seed_hosts = _n_seeds_meta, _n_hosts_meta
+        elif opts.parallel_checkpoints:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(2) as pool:
@@ -341,7 +357,9 @@ class CrawlEngine:
         # (None = unknown → fall back to an isEmpty job)
         cand_rows: int | None = n_seeds
         deferred_rows: int | None = 0
-        seen_parts: list[DataFrame] = [self._empty(SEEN_DDL)]
+        seen_parts: list[DataFrame] = [
+            self._empty(SEEN_DDL) if initial_seen is None else initial_seen
+        ]
         visit_parts: list[DataFrame] = [self._empty(VISIT_LOG_DDL)]
         fetch_parts: list[DataFrame] = [self._empty(FETCH_LOG_DDL)]
         error_parts: list[DataFrame] = [self._empty(ERRORS_DDL)]
@@ -446,7 +464,11 @@ class CrawlEngine:
             adm = admit_candidates(
                 candidates, seen, seed_hosts, opts, ext.filter_factory,
                 bloom_df=bloom_df,
-                pin=_pin_fork if opts.salt_hot_hosts else None,
+                pin=(
+                    _pin_fork
+                    if (opts.salt_hot_hosts or opts.use_bloom_seen)
+                    else None
+                ),
             ).repartition(wave_parts).persist()
             _t = _tick("adm_plan", _t)
             admitted = adm.filter(F.col("admitted"))

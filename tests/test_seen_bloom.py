@@ -93,6 +93,60 @@ def test_apply_bloom_df_matches_collected(spark):
         assert via_df[f"http://h/a{i}"]
 
 
+def test_apply_bloom_join_matches_collected(spark):
+    """The pure-JVM broadcast-join probe agrees with the numpy probe
+    (same signed-arithmetic bit layout) and has no false negatives."""
+    from crawlspark.operators.seen import apply_bloom_join
+
+    kw = dict(num_partitions=4, expected_per_partition=500, fpp=0.01)
+    seen = spark.range(600).select(
+        F.concat(F.lit("http://h/s"), F.col("id")).alias("url_norm")
+    )
+    shards_df = build_bloom(seen, **kw)
+    cands = spark.range(1800).select(
+        F.concat(F.lit("http://h/s"), F.col("id")).alias("url_norm")
+    )
+    via_join = {
+        r["url_norm"]: r["maybe_seen"]
+        for r in apply_bloom_join(cands, shards_df, **kw).collect()
+    }
+    via_list = {
+        r["url_norm"]: r["maybe_seen"]
+        for r in apply_bloom(
+            cands, collect_shards(shards_df), **kw
+        ).collect()
+    }
+    assert via_join == via_list
+    for i in range(600):
+        assert via_join[f"http://h/s{i}"], f"false negative at {i}"
+    fps = sum(1 for i in range(600, 1800) if via_join[f"http://h/s{i}"])
+    assert fps / 1200 < 0.05
+
+
+def test_engine_with_bloom_cogroup_probe(spark, fixture_pages):
+    """The distributed cogroup probe (10^10 path) gives identical crawl
+    results to the broadcast-join probe."""
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    kw = dict(
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        bloom_expected_per_partition=1000, bloom_fpp=0.01,
+    )
+    a = CrawlEngine(
+        spark, fixture_pages, Options(bloom_probe="join", **kw)
+    ).run(seeds)
+    b = CrawlEngine(
+        spark, fixture_pages, Options(bloom_probe="cogroup", **kw)
+    ).run(seeds)
+    assert a.counters.visit == b.counters.visit == 5
+    assert a.counters.filter == b.counters.filter == 13
+    sa = {r[0] for r in a.seen.select("url_norm").collect()}
+    sb = {r[0] for r in b.seen.select("url_norm").collect()}
+    assert sa == sb
+
+
 def test_resume_with_bloom_matches_full(spark, fixture_pages, tmp_path):
     """Bloom-on resume seeds the shard table from the checkpointed seen
     set — no false-negative hole across the resume boundary."""
