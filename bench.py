@@ -179,10 +179,16 @@ def _calibrate(cpus: list[int] | None, per_proc_sec: float = 0.3) -> float:
 def _session(cores: int, shuffle: int):
     from crawlspark.session import get_spark
 
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_AQE", "1") == "0":
+        # experiment knob: AQE's per-stage re-planning is serial driver
+        # latency; the engine pins its own partitioning everywhere
+        extra["spark.sql.adaptive.enabled"] = "false"
     return get_spark(
         app_name=f"crawlspark-bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle,
+        extra_conf=extra,
     )
 
 
@@ -481,26 +487,39 @@ def main() -> None:
         high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
     crawl_low = min(low_reps, key=lambda r: r["seconds"])
     crawl_high = min(high_reps, key=lambda r: r["seconds"])
-    # one bloom-sidecar rep at the high level: evidences the north
-    # rule's named structure under the same protocol
-    try:
-        crawl_bloom = _crawl_rep_subprocess(HIGH_CORES, bloom=True)
-    except RuntimeError:
-        crawl_bloom = None
-    # big-seen A/B at the high level: pre-populate seen with 10x the
-    # wave size (the mid-frontier / 10^10 regime).  Counters are
-    # identical in all four crawl modes (disjoint hosts); the bloom
-    # pre-filter's job is to win THIS pair, not the cold-start one.
+    # bloom-sidecar rows at the high level: the north rule's named
+    # structure under the same protocol.  The big-seen A/B pre-populates
+    # seen with 10x the wave size (the mid-frontier / 10^10 regime) —
+    # counters are identical in all four crawl modes (disjoint hosts);
+    # the bloom pre-filter's job is to win THAT pair, not cold start.
+    # A/B reps interleave and take min per arm: this host's co-tenant
+    # noise swings single reps by 2-3x.
     bigseen_n = int(
         os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "3000000")
     )
+    bloom_arm: list[dict] = []
+    bs_plain_arm: list[dict] = []
+    bs_bloom_arm: list[dict] = []
     try:
-        crawl_bigseen = _crawl_rep_subprocess(HIGH_CORES, bigseen=bigseen_n)
-        crawl_bigseen_bloom = _crawl_rep_subprocess(
-            HIGH_CORES, bloom=True, bigseen=bigseen_n
-        )
+        for _ in range(2):
+            bloom_arm.append(_crawl_rep_subprocess(HIGH_CORES, bloom=True))
+            bs_plain_arm.append(
+                _crawl_rep_subprocess(HIGH_CORES, bigseen=bigseen_n)
+            )
+            bs_bloom_arm.append(
+                _crawl_rep_subprocess(
+                    HIGH_CORES, bloom=True, bigseen=bigseen_n
+                )
+            )
     except RuntimeError:
-        crawl_bigseen = crawl_bigseen_bloom = None
+        pass
+    crawl_bloom = min(bloom_arm, key=lambda r: r["seconds"], default=None)
+    crawl_bigseen = min(
+        bs_plain_arm, key=lambda r: r["seconds"], default=None
+    )
+    crawl_bigseen_bloom = min(
+        bs_bloom_arm, key=lambda r: r["seconds"], default=None
+    )
 
     queries = _queries_phase_subprocess()
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
@@ -509,6 +528,19 @@ def main() -> None:
     eff = (
         (crawl_high["urls_per_sec"] / crawl_low["urls_per_sec"]) / ratio
         if crawl_low["urls_per_sec"] > 0
+        else 0.0
+    )
+    # efficiency against the parallelism the host actually DELIVERED to
+    # each chosen rep (calibration probe): a co-tenant stealing half of
+    # the 2-CPU set slows the low level through no fault of the engine;
+    # raw efficiency stays the headline, this isolates the engine's
+    # share.  Guarded to [raw, 1.5] sanity range.
+    d_lo = crawl_low.get("delivered_parallelism") or LOW_CORES
+    d_hi = crawl_high.get("delivered_parallelism") or HIGH_CORES
+    eff_delivered = (
+        (crawl_high["urls_per_sec"] / crawl_low["urls_per_sec"])
+        / (d_hi / d_lo)
+        if crawl_low["urls_per_sec"] > 0 and d_lo > 0
         else 0.0
     )
     # work/latency decomposition: T = W/c + L fitted from the two levels
@@ -546,6 +578,7 @@ def main() -> None:
             "throughput_low": round(crawl_low["urls_per_sec"], 1),
             "throughput_high": round(crawl_high["urls_per_sec"], 1),
             "efficiency": round(eff, 3),
+            "efficiency_delivered": round(eff_delivered, 3),
             "fitted_parallel_work_cpu_sec": round(w, 1),
             "fitted_fixed_latency_sec": round(lat, 1),
             "reps_low_sec": [round(r["seconds"], 2) for r in low_reps],
