@@ -698,3 +698,40 @@ class TestFetchHooks:
         )
         assert [h for b in got2 for h, _ in b] == []
         assert res2.counters.fetched_robots == 0
+
+
+def test_all_scale_options_compose(spark, fixture_pages, tmp_path):
+    """Every scale knob at once (bloom sidecar + salted sequencing +
+    seen compaction + parallel durable commits) produces the exact
+    baseline crawl: counters, seen set, per-host visit order."""
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    base = crawl(spark, fixture_pages, seeds)
+    res = CrawlEngine(
+        spark,
+        fixture_pages,
+        Options(
+            crawl_delay_ms=DELAY,
+            use_bloom_seen=True,
+            bloom_partitions=4,
+            bloom_expected_per_partition=1000,
+            salt_hot_hosts=True,
+            seen_compact_every=2,
+            parallel_checkpoints=True,
+            checkpoint_dir=str(tmp_path / "ck"),
+        ),
+    ).run(seeds)
+    assert res.counters.visit == base.counters.visit == 5
+    assert res.counters.filter == base.counters.filter == 13
+    assert res.counters.enqueued == base.counters.enqueued
+    assert res.counters.disallowed == base.counters.disallowed
+    s1 = {r[0] for r in base.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in res.seen.select("url_norm").collect()}
+    assert s1 == s2
+    order = lambda r: [  # noqa: E731
+        x[0]
+        for x in r.visit_log.filter(F.col("host") == "hosta")
+        .orderBy("seq")
+        .select("url_norm")
+        .collect()
+    ]
+    assert order(res) == order(base)
