@@ -359,17 +359,6 @@ def _crawl_rep(cores: int) -> dict:
     return rep
 
 
-def _crawl_level(cores: int) -> dict:
-    """Back-compat single-process level (warmup + min of REPS) for
-    diagnostics like scripts/stage_profile.py."""
-    best = None
-    for _ in range(REPS):
-        rep = _crawl_rep(cores)
-        if best is None or rep["seconds"] < best["seconds"]:
-            best = rep
-    return best
-
-
 def _crawl_rep_subprocess(
     cores: int, bloom: bool = False, bigseen: int = 0
 ) -> dict:
@@ -543,6 +532,10 @@ def main() -> None:
         if crawl_low["urls_per_sec"] > 0 and d_lo > 0
         else 0.0
     )
+    # clamp: a mis-measured calibration (0.3s probe vs minutes-long
+    # rep) must not publish impossible numbers — delivered efficiency
+    # can only refine raw upward, and >1.0 is definitionally noise
+    eff_delivered = min(max(eff_delivered, eff), 1.0)
     # work/latency decomposition: T = W/c + L fitted from the two levels
     t_l, t_h = crawl_low["seconds"], crawl_high["seconds"]
     w = (t_l - t_h) / (1.0 / LOW_CORES - 1.0 / HIGH_CORES)

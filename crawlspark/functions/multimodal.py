@@ -223,7 +223,12 @@ def extract_media_features(
                 except ValueError:
                     if not decode_stub:
                         raise
+                    # same stub surface as the unrecognized-magic path:
+                    # two equally-undecodable payloads of one kind must
+                    # produce identically-shaped features
                     w, hgt, mean_e6 = _stub_features(b)
+                    frames = 1 if kind != "audio" else 0
+                    dur = 0
                 rows.append(
                     (int(mid), kind, len(b), sha, w, hgt, dur, mean_e6, frames)
                 )
@@ -287,7 +292,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     external data; ``seed`` offsets the id space)."""
     rows = []
     for i in range(n):
-        mid = seed * 0 + i
+        mid = seed * 100_000 + i  # seed offsets the id space
         kind, payload = synthesize_media_blob(mid)
         mime = {
             "image": "image/bmp", "audio": "audio/wav",

@@ -159,7 +159,7 @@ def ngram_jaccard(
 
 def dedup_pipeline(
     docs: DataFrame, text_col: str = "text", num_hashes: int = 4,
-    bands: int = 2, shingle_n: int = 3, persist: bool = True,
+    bands: int = 2, shingle_n: int = 3, persist: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline sharing one shingling pass: shingles →
     MinHash signatures → banded-LSH candidate pairs → exact n-gram
@@ -167,9 +167,12 @@ def dedup_pipeline(
 
     Running the three stages as separate queries re-shingles and
     re-signs the corpus three times; here the exploded shingle relation
-    and the signature table are computed once (persisted by default) and
-    every stage reads them.  At 100 TB the persist becomes a
-    materialized intermediate table — same dataflow shape.
+    and the signature table are shared subplans of ONE query (Spark's
+    exchange reuse dedupes their shuffles; measured faster than
+    persisting them, which also pins executor storage with no release
+    point inside an operator).  ``persist=True`` caches them instead —
+    the caller owns unpersisting via the returned plan's sources.  At
+    100 TB the equivalent is materializing the signature table once.
     """
     sh_all = docs.select(
         "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")

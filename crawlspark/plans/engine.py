@@ -34,7 +34,6 @@ Scale design:
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 from functools import reduce
@@ -191,20 +190,6 @@ class CrawlEngine:
             return self._store.commit(df, name, wave)
         return df.localCheckpoint(eager=True)
 
-    @staticmethod
-    def _parquet_rows(path: str) -> int | None:
-        """Exact row count of a parquet dir from footers only — a
-        driver-side metadata read, NOT a Spark job.  The wave loop uses
-        this to replace two per-wave isEmpty jobs (each a full
-        scheduler round-trip on the serial path) with file metadata the
-        durable commit just wrote."""
-        try:
-            import pyarrow.dataset as pads
-
-            return pads.dataset(path, format="parquet").count_rows()
-        except Exception:
-            return None
-
     def _ckpt_counted(
         self, df: DataFrame, name: str, wave: int
     ) -> tuple[DataFrame, int | None]:
@@ -230,44 +215,31 @@ class CrawlEngine:
         rebuilds the seed-host set; admission state comes from the
         checkpoint).
         """
-        ckdir = self.opts.checkpoint_dir
-        if not ckdir:
-            raise ValueError("resume requires opts.checkpoint_dir")
-        with open(os.path.join(ckdir, "MANIFEST.json")) as fh:
-            manifest = json.load(fh)
+        if self._store is None:
+            raise ValueError(
+                "resume requires opts.checkpoint_dir or opts.state_store"
+            )
+        manifest = self._store.get_manifest()
         wave = manifest["wave"]
         last = wave - 1
         snapw = manifest.get("seen_snapshot_wave")
         if snapw is not None:
             # compaction snapshot at wave `snapw` covers increments
-            # 0..snapw; only post-snapshot increments remain as files
-            seen_paths = [
-                os.path.join(ckdir, f"wave={snapw}", "seen_snapshot")
-            ] + [
-                os.path.join(ckdir, f"wave={w}", "seen_inc")
+            # 0..snapw; only post-snapshot increments remain
+            seen_parts = [self._store.read("seen_snapshot", snapw)] + [
+                self._store.read("seen_inc", w)
                 for w in range(snapw + 1, wave)
             ]
         else:
-            seen_paths = [
-                os.path.join(ckdir, f"wave={w}", "seen_inc")
-                for w in range(wave)
+            seen_parts = [
+                self._store.read("seen_inc", w) for w in range(wave)
             ]
-        seen = reduce(
-            DataFrame.unionByName,
-            [self.spark.read.parquet(p) for p in seen_paths],
-        )
         state = {
-            "seen": seen,
+            "seen": reduce(DataFrame.unionByName, seen_parts),
             "seen_snapshot_wave": snapw,
-            "host_state": self.spark.read.parquet(
-                os.path.join(ckdir, f"wave={last}", "host_state")
-            ),
-            "candidates": self.spark.read.parquet(
-                os.path.join(ckdir, f"wave={last}", "candidates")
-            ),
-            "cand_rows": self._parquet_rows(
-                os.path.join(ckdir, f"wave={last}", "candidates")
-            ),
+            "host_state": self._store.read("host_state", last),
+            "candidates": self._store.read("candidates", last),
+            "cand_rows": self._store.rows("candidates", last),
             "wave": wave,
             "visits_total": manifest["visits_total"],
             "counters": manifest["counters"],
@@ -1167,24 +1139,22 @@ class CrawlEngine:
                 self._pending = []
             _t = _tick("wave_end_hooks", _t)
 
-            if self.opts.checkpoint_dir:
-                manifest = {
-                    "wave": wave + 1,
-                    "seen_snapshot_wave": seen_snapshot_wave,
-                    "visits_total": visits_total,
-                    "counters": {
-                        **{
-                            k: v
-                            for k, v in vars(c).items()
-                            if k != "errors_by_kind"
+            if self._store is not None:
+                self._store.put_manifest(
+                    {
+                        "wave": wave + 1,
+                        "seen_snapshot_wave": seen_snapshot_wave,
+                        "visits_total": visits_total,
+                        "counters": {
+                            **{
+                                k: v
+                                for k, v in vars(c).items()
+                                if k != "errors_by_kind"
+                            },
+                            "errors_by_kind": dict(c.errors_by_kind),
                         },
-                        "errors_by_kind": dict(c.errors_by_kind),
-                    },
-                }
-                with open(
-                    os.path.join(self.opts.checkpoint_dir, "MANIFEST.json"), "w"
-                ) as fh:
-                    json.dump(manifest, fh)
+                    }
+                )
 
             adm.unpersist()
             gated.unpersist()

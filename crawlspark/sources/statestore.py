@@ -52,6 +52,13 @@ class StateStore:
         backend can answer without a job, else None."""
         raise NotImplementedError
 
+    def put_manifest(self, manifest: dict) -> None:
+        """Durably record the resume pointer (wave, counters, ...)."""
+        raise NotImplementedError
+
+    def get_manifest(self) -> dict:
+        raise NotImplementedError
+
 
 class ParquetStateStore(StateStore):
     """The sandbox default: `wave=N/<name>` parquet dirs under a root
@@ -82,6 +89,18 @@ class ParquetStateStore(StateStore):
             ).count_rows()
         except Exception:
             return None
+
+    def put_manifest(self, manifest: dict) -> None:
+        import json
+
+        with open(os.path.join(self.root, "MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def get_manifest(self) -> dict:
+        import json
+
+        with open(os.path.join(self.root, "MANIFEST.json")) as fh:
+            return json.load(fh)
 
 
 class IcebergStateStore(StateStore):
@@ -125,16 +144,21 @@ class IcebergStateStore(StateStore):
 
         tbl = self._table(name)
         out = df.withColumn("_wave", F.lit(wave))
-        writer = out.writeTo(tbl).partitionedBy(F.col("_wave"))
+        parts = [F.col("_wave")]
         key = self.BUCKETED.get(name)
         if key is not None and key in df.columns:
-            writer = out.writeTo(tbl).partitionedBy(
-                F.col("_wave"), F.bucket(self.buckets, F.col(key))
-            )
-        try:
-            writer.createOrReplace() if wave < 0 else writer.append()
-        except Exception:
-            writer.createOrReplace()  # first wave creates the table
+            parts.append(F.bucket(self.buckets, F.col(key)))
+        writer = out.writeTo(tbl).partitionedBy(*parts)
+        # write mode decided by EXISTENCE, never by catching the write's
+        # failure: a transient error (commit conflict, connectivity)
+        # must propagate, not silently replace the table and destroy
+        # every previously committed wave.  overwritePartitions replaces
+        # only this wave's partition — the exact analog of the parquet
+        # store's per-(wave, name) dir overwrite, idempotent on retry.
+        if self.spark.catalog.tableExists(tbl):
+            writer.overwritePartitions()
+        else:
+            writer.create()
         return self.read(name, wave)
 
     def read(self, name: str, wave: int) -> DataFrame:
@@ -159,3 +183,16 @@ class IcebergStateStore(StateStore):
             return int(r) if r is not None else 0
         except Exception:
             return None
+
+    def put_manifest(self, manifest: dict) -> None:
+        import json
+
+        self.spark.createDataFrame(
+            [(json.dumps(manifest),)], "manifest_json string"
+        ).writeTo(self._table("manifest")).createOrReplace()
+
+    def get_manifest(self) -> dict:
+        import json
+
+        row = self.spark.table(self._table("manifest")).collect()[0]
+        return json.loads(row["manifest_json"])
