@@ -74,17 +74,20 @@ def _word_tokens(word: str, merges: tuple[tuple[str, str], ...]) -> int:
     return s.count(DELIM) // 2
 
 
+# Module-level cache keyed on (word, merges) so Zipf-repeated words
+# amortize across EVERY document an executor worker processes — not
+# just within one document (a per-call cache would be rebuilt per doc).
+@lru_cache(maxsize=65536)
+def _word_tokens_cached(word: str, merges: tuple[tuple[str, str], ...]) -> int:
+    return _word_tokens(word, merges)
+
+
 def bpe_token_count(text: str, merges: list[tuple[str, str]]) -> int:
     """BPE token count of a document: sum over whitespace-split
     lowercased words (DELIM chars stripped from input first)."""
     mt = tuple(merges)
-
-    @lru_cache(maxsize=4096)
-    def per_word(w: str) -> int:
-        return _word_tokens(w, mt)
-
     return sum(
-        per_word(w)
+        _word_tokens_cached(w, mt)
         for w in text.lower().replace(DELIM, "").split(" ")
         if w
     )

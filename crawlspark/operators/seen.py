@@ -132,10 +132,17 @@ def apply_bloom(
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            h1 = pdf["_h1"].to_numpy(dtype=np.int64)
-            h2 = pdf["_h2"].to_numpy(dtype=np.int64)
-            pid = pdf["_pid"].to_numpy()
+            # null url_norm → null hashes (xxhash64(NULL) is NULL → NaN
+            # through Arrow); those rows are definitively "not seen"
+            # (matches the JVM join path's CASE WHEN words IS NULL), and
+            # must be excluded before the int64 conversion, which raises
+            # on NaN.
+            valid = pdf["_h1"].notna().to_numpy()
             maybe = np.zeros(len(pdf), dtype=bool)
+            h1 = pdf["_h1"].to_numpy()[valid].astype(np.int64)
+            h2 = pdf["_h2"].to_numpy()[valid].astype(np.int64)
+            pid = pdf["_pid"].to_numpy()[valid]
+            sub = np.zeros(valid.sum(), dtype=bool)
             # group rows by shard, vectorized bit tests
             for p in np.unique(pid):
                 sel = pid == p
@@ -150,7 +157,8 @@ def apply_bloom(
                     byte = arr[idx >> 3]
                     bit = (byte >> (7 - (idx & 7).astype(np.uint8))) & 1
                     acc &= bit.astype(bool)
-                maybe[sel] = acc
+                sub[sel] = acc
+            maybe[valid] = sub
             out = pdf[cols].copy()
             out["maybe_seen"] = maybe
             yield out
@@ -293,16 +301,22 @@ def apply_bloom_df(
         for a in arrs:
             bits[: a.size] |= a
         mm = np.int64(bits.size * 8)
-        h1 = np.mod(cand_pdf["_h1"].to_numpy(dtype=np.int64), mm)
-        h2 = np.mod(cand_pdf["_h2"].to_numpy(dtype=np.int64), mm)
-        acc = np.ones(len(cand_pdf), dtype=bool)
+        # null url_norm → NaN hashes through Arrow; exclude before the
+        # int64 conversion (raises on NaN) and report "not seen", the
+        # same answer the JVM join path gives for null keys.
+        valid = cand_pdf["_h1"].notna().to_numpy()
+        h1 = np.mod(cand_pdf["_h1"].to_numpy()[valid].astype(np.int64), mm)
+        h2 = np.mod(cand_pdf["_h2"].to_numpy()[valid].astype(np.int64), mm)
+        acc = np.ones(int(valid.sum()), dtype=bool)
         for i in range(k):
             idx = np.mod(h1 + np.int64(i) * h2, mm)
             byte = bits[idx >> 3]
             bit = (byte >> (7 - (idx & 7).astype(np.uint8))) & 1
             acc &= bit.astype(bool)
+        maybe = np.zeros(len(cand_pdf), dtype=bool)
+        maybe[valid] = acc
         out = cand_pdf[cols].copy()
-        out["maybe_seen"] = acc
+        out["maybe_seen"] = maybe
         return out
 
     return (

@@ -223,9 +223,11 @@ class CrawlEngine:
         wave = manifest["wave"]
         last = wave - 1
         snapw = manifest.get("seen_snapshot_wave")
+        has_initial = manifest.get("has_initial_seen", False)
         if snapw is not None:
-            # compaction snapshot at wave `snapw` covers increments
-            # 0..snapw; only post-snapshot increments remain
+            # compaction snapshot at wave `snapw` covers the initial
+            # seen (if any) plus increments 0..snapw; only
+            # post-snapshot increments remain
             seen_parts = [self._store.read("seen_snapshot", snapw)] + [
                 self._store.read("seen_inc", w)
                 for w in range(snapw + 1, wave)
@@ -234,9 +236,14 @@ class CrawlEngine:
             seen_parts = [
                 self._store.read("seen_inc", w) for w in range(wave)
             ]
+            if has_initial:
+                # run(initial_seen=...) committed the pre-populated
+                # seen set as seed-stage state (wave -1)
+                seen_parts.insert(0, self._store.read("seen_inc", -1))
         state = {
             "seen": reduce(DataFrame.unionByName, seen_parts),
             "seen_snapshot_wave": snapw,
+            "has_initial_seen": has_initial,
             "host_state": self._store.read("host_state", last),
             "candidates": self._store.read("candidates", last),
             "cand_rows": self._store.rows("candidates", last),
@@ -244,6 +251,14 @@ class CrawlEngine:
             "visits_total": manifest["visits_total"],
             "counters": manifest["counters"],
         }
+        # the deferred frontier (politeness-cap overflow) is loop-carried
+        # state like candidates: rows deferred at the crash point are in
+        # neither candidates nor (re-admittable) seen, so dropping them
+        # would lose them forever
+        dr = manifest.get("deferred_rows", 0)
+        if dr is None or dr != 0:
+            state["deferred"] = self._store.read("deferred", last)
+            state["deferred_rows"] = dr
         return self.run(seeds, resume_state=state)
 
     def run(
@@ -329,6 +344,14 @@ class CrawlEngine:
         # (None = unknown → fall back to an isEmpty job)
         cand_rows: int | None = n_seeds
         deferred_rows: int | None = 0
+        if initial_seen is not None and self._store is not None and not resume_state:
+            # commit the pre-populated seen set as seed-stage state so
+            # resume() reconstructs it: per-wave increments alone would
+            # silently forget initial_seen (re-admitting and re-crawling
+            # already-seen URLs) unless a compaction snapshot happened
+            # to fire before the crash.
+            initial_seen = self._store.commit(initial_seen, "seen_inc", -1)
+        self._has_initial_seen = initial_seen is not None
         seen_parts: list[DataFrame] = [
             self._empty(SEEN_DDL) if initial_seen is None else initial_seen
         ]
@@ -348,6 +371,10 @@ class CrawlEngine:
             host_state = resume_state["host_state"]
             candidates = resume_state["candidates"]
             cand_rows = resume_state.get("cand_rows")
+            if "deferred" in resume_state:
+                deferred = resume_state["deferred"]
+                deferred_rows = resume_state.get("deferred_rows")
+            self._has_initial_seen = resume_state.get("has_initial_seen", False)
             wave = resume_state["wave"]
             visits_total = resume_state.get("visits_total", 0)
             for key, val in resume_state.get("counters", {}).items():
@@ -629,7 +656,14 @@ class CrawlEngine:
             # MaxVisits: exact truncation over the deterministic global
             # order, via the two-phase range-bucket cumsum (skew.py) —
             # no partition-less window, so a big wave with max_visits
-            # set no longer serializes into one task.
+            # set no longer serializes into one task.  No "did we drop
+            # anything" probe job: truncation happening at all implies
+            # the unfiltered wave visit count >= remaining, which makes
+            # the post-filter count exactly `remaining`, so the
+            # wave-end `visits_total >= max_visits` check below fires
+            # the stop + err on its own — the old `limit(1).count()`
+            # here re-ran the whole upstream once per wave for an
+            # answer the combined stats already determine.
             stop_after_wave = False
             if opts.max_visits > 0:
                 from crawlspark.operators.skew import global_cumsum_skewproof
@@ -644,14 +678,6 @@ class CrawlEngine:
                     out_col="_cum_visits_excl",
                 ).drop("_isv")
                 remaining = opts.max_visits - visits_total
-                dropped_any = (
-                    phased.filter(F.col("_cum_visits_excl") >= remaining)
-                    .limit(1)
-                    .count()
-                )
-                if dropped_any:
-                    stop_after_wave = True
-                    err = "max_visits"
                 phased = phased.filter(
                     F.col("_cum_visits_excl") < remaining
                 ).drop("_cum_visits_excl")
@@ -1144,6 +1170,12 @@ class CrawlEngine:
                     {
                         "wave": wave + 1,
                         "seen_snapshot_wave": seen_snapshot_wave,
+                        # loop-carried frontier state resume() must
+                        # restore besides candidates: the deferred
+                        # overflow (None = committed but count unknown)
+                        # and whether a seed-stage seen_inc exists
+                        "deferred_rows": deferred_rows,
+                        "has_initial_seen": self._has_initial_seen,
                         "visits_total": visits_total,
                         "counters": {
                             **{

@@ -152,11 +152,18 @@ class IcebergStateStore(StateStore):
         # write mode decided by EXISTENCE, never by catching the write's
         # failure: a transient error (commit conflict, connectivity)
         # must propagate, not silently replace the table and destroy
-        # every previously committed wave.  overwritePartitions replaces
-        # only this wave's partition — the exact analog of the parquet
-        # store's per-(wave, name) dir overwrite, idempotent on retry.
+        # every previously committed wave.
         if self.spark.catalog.tableExists(tbl):
-            writer.overwritePartitions()
+            # overwritePartitions only replaces partitions PRESENT in
+            # the new data — a retried wave that legitimately produces
+            # zero rows would overwrite nothing and leave the failed
+            # attempt's stale rows visible.  Delete this wave's
+            # partition first so the commit is idempotent even when the
+            # incoming DataFrame is empty (partition-pruned metadata
+            # delete in Iceberg, no data rewrite), matching the parquet
+            # store's unconditional per-(wave, name) dir overwrite.
+            self.spark.sql(f"DELETE FROM {tbl} WHERE _wave = {wave}")
+            writer.append()
         else:
             writer.create()
         return self.read(name, wave)

@@ -26,11 +26,27 @@ INJECT_DDL = "url string, state string"
 
 
 class InjectionQueue:
-    """File-backed injection table bridging a stream to the wave loop."""
+    """File-backed injection table bridging a stream to the wave loop.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``max_rows_per_drain`` bounds the driver-side batch each wave
+    boundary takes (``drain`` collects rows to feed ``engine.enqueue``,
+    so the bound caps driver memory, not correctness): whole batches
+    are consumed until the cap is reached; remaining batches stay in
+    ``pending/`` and drain on subsequent waves, FIFO by batch id.  The
+    injection path is for trickle enqueues (the EnqueueChan analog) —
+    bulk frontiers belong in the seed DataFrame path, which never
+    transits the driver.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        max_rows_per_drain: int = 100_000,
+    ):
         self.spark = spark
         self.root = root
+        self.max_rows_per_drain = max_rows_per_drain
         self.staging_dir = os.path.join(root, "staging")
         self.pending_dir = os.path.join(root, "pending")
         self.consumed_dir = os.path.join(root, "consumed")
@@ -66,10 +82,14 @@ class InjectionQueue:
 
     # -- consumer side (called by the wave loop / on_wave_end hook) -------
     def drain(self) -> list[tuple[str, str | None]]:
-        """Atomically take all pending injections as seed rows."""
+        """Atomically take pending injections (oldest batches first) as
+        seed rows, up to ``max_rows_per_drain``; overflow batches stay
+        pending for the next wave's drain."""
         batches = sorted(os.listdir(self.pending_dir))
         rows: list[tuple[str, str | None]] = []
         for b in batches:
+            if rows and len(rows) >= self.max_rows_per_drain:
+                break  # cap reached — rest stays queued
             src = os.path.join(self.pending_dir, b)
             df = self.spark.read.schema(INJECT_DDL).parquet(src)
             rows.extend((r["url"], r["state"]) for r in df.collect())
