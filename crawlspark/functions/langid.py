@@ -45,6 +45,49 @@ _SAMPLES: dict[str, str] = {
         "todas las familias felices se parecen esta es una historia "
         "sobre la gente que vivia alli y las cosas que hacia"
     ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro era una "
+        "giornata limpida e fredda di aprile e gli orologi battevano le "
+        "tredici tutte le famiglie felici si somigliano questa e una "
+        "storia sulle persone che vivevano li e sulle cose che facevano"
+    ),
+    "pt": (
+        "a rapida raposa marrom salta sobre o cao preguicoso era um dia "
+        "claro e frio de abril e os relogios batiam as treze horas todas "
+        "as familias felizes se parecem esta e uma historia sobre as "
+        "pessoas que moravam ali e as coisas que elas faziam com o tempo"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond het was een "
+        "heldere koude dag in april en de klokken sloegen dertien alle "
+        "gelukkige gezinnen lijken op elkaar dit is een verhaal over de "
+        "mensen die daar woonden en de dingen die zij met hun tijd deden"
+    ),
+    "sv": (
+        "den snabba bruna raven hoppar over den lata hunden det var en "
+        "ljus kall dag i april och klockorna slog tretton alla lyckliga "
+        "familjer liknar varandra detta ar en berattelse om manniskorna "
+        "som bodde dar och om de saker som de gjorde med sin tid"
+    ),
+    "pl": (
+        "szybki brazowy lis przeskakuje nad leniwym psem byl jasny "
+        "zimny dzien kwietnia a zegary wybijaly trzynascie wszystkie "
+        "szczesliwe rodziny sa do siebie podobne to jest opowiesc o "
+        "ludziach ktorzy tam mieszkali i o tym co robili ze swoim czasem"
+    ),
+    "id": (
+        "rubah coklat yang cepat melompati anjing yang malas saat itu "
+        "hari yang cerah dan dingin di bulan april dan jam jam berdentang "
+        "tiga belas kali semua keluarga bahagia itu serupa ini adalah "
+        "cerita tentang orang orang yang tinggal di sana dan hal hal yang "
+        "mereka lakukan dengan waktu mereka"
+    ),
+    "tr": (
+        "hizli kahverengi tilki tembel kopegin uzerinden atlar nisan "
+        "ayinda parlak ve soguk bir gundu ve saatler on ucu vuruyordu "
+        "butun mutlu aileler birbirine benzer bu orada yasayan insanlar "
+        "ve zamanlariyla yaptiklari seyler hakkinda bir hikayedir"
+    ),
 }
 
 
