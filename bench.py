@@ -46,7 +46,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20000"))
-BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "200000"))
+# 400k seeds: the official scaling pair must measure the regime the
+# design targets — waves big enough that parallel work dominates the
+# per-wave driver latency (at 200k seeds the 8-core level spent ~70% of
+# its wall in fixed latency, understating scaling for every level)
+BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "400000"))
 BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
 LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
 HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", str(min(8, CPUS))))
@@ -62,6 +66,12 @@ BENCH_BLOOM = False
 # the seen set dwarfs each wave — the 10^10 shape the bloom sidecar
 # exists for).  0 = off.
 BENCH_BIGSEEN = 0
+# deep-frontier mode: a long (10-wave) crawl with compaction + bloom +
+# hot-host salting all on, evidencing flat per-wave wall at bench scale
+# (the 10^10 frontier runs thousands of waves; per-wave cost must not
+# grow with crawl depth).  0 = off, else the wave count.
+BENCH_DEEP = 0
+DEEP_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_DEEP_SEEDS", "50000"))
 CACHE = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE",
     f"/root/repo/.bench_cache/pages_{BENCH_PAGES}_{BENCH_HOSTS}",
@@ -264,16 +274,21 @@ def _crawl_once(spark, pages_path: str) -> dict:
     opts = Options(
         crawl_delay_ms=100,
         same_host_only=False,
-        max_waves=BENCH_WAVES,
+        max_waves=BENCH_DEEP or BENCH_WAVES,
         collect_logs=False,  # throughput mode: counters stay exact
         parallel_checkpoints=True,  # overlap end-of-wave commits + stats
         checkpoint_dir=ck_dir,
         # bloom mode: the north rule's named structure — (pid, bitmap)
         # shard table, pure-JVM broadcast-join probe; counters are
         # pytest-identical either way
-        use_bloom_seen=BENCH_BLOOM,
+        use_bloom_seen=BENCH_BLOOM or bool(BENCH_DEEP),
         bloom_partitions=8,
         bloom_expected_per_partition=500_000,
+        # deep-frontier mode: every long-crawl option ON together (the
+        # compose-parity pytest pins counters identical) — this arm
+        # evidences flat per-wave wall at depth, not peak throughput
+        seen_compact_every=5 if BENCH_DEEP else 8,
+        salt_hot_hosts=bool(BENCH_DEEP),
     )
     eng = CrawlEngine(spark, pages, opts)
     initial_seen = None
@@ -330,6 +345,12 @@ def _crawl_once(spark, pages_path: str) -> dict:
         "candidates_filtered": res.counters.filter,
         "waves": res.waves,
         "urls_per_sec": res.counters.fetch / dt if dt > 0 else 0.0,
+        # per-wave evidence for the deep-frontier arm: wall must stay
+        # flat as the seen set / crawl depth grows
+        "wave_walls_sec": [
+            round(m["wall_ms"] / 1000, 2) for m in res.wave_metrics
+        ],
+        "wave_fetches": [m["fetches"] for m in res.wave_metrics],
     }
 
 
@@ -337,20 +358,23 @@ def _crawl_rep(cores: int) -> dict:
     """One scaling rep: pin to the ``cores`` most-idle OS CPUs, measure
     delivered parallelism, fresh JVM, small warmup crawl (JIT/codegen/
     Arrow-path warm), then ONE measured run."""
-    global BENCH_SEEDS, BENCH_WAVES, BENCH_BIGSEEN
+    global BENCH_SEEDS, BENCH_WAVES, BENCH_BIGSEEN, BENCH_DEEP
     cpus = _pin_cpus(cores)
     delivered = _calibrate(cpus)
     spark = _session(cores, cores)
     pages_path = _ensure_pages(spark)
+    if BENCH_DEEP:
+        BENCH_SEEDS = DEEP_SEEDS
     real_seeds, real_waves = BENCH_SEEDS, BENCH_WAVES
-    real_bigseen = BENCH_BIGSEEN
+    real_bigseen, real_deep = BENCH_BIGSEEN, BENCH_DEEP
     BENCH_SEEDS, BENCH_WAVES = min(10_000, real_seeds), min(2, real_waves)
     BENCH_BIGSEEN = min(100_000, real_bigseen)
+    BENCH_DEEP = min(2, real_deep)
     try:
         _crawl_once(spark, pages_path)  # warmup, untimed
     finally:
         BENCH_SEEDS, BENCH_WAVES = real_seeds, real_waves
-        BENCH_BIGSEEN = real_bigseen
+        BENCH_BIGSEEN, BENCH_DEEP = real_bigseen, real_deep
     rep = _crawl_once(spark, pages_path)
     rep["delivered_parallelism"] = delivered
     rep["cpus"] = cpus
@@ -360,7 +384,7 @@ def _crawl_rep(cores: int) -> dict:
 
 
 def _crawl_rep_subprocess(
-    cores: int, bloom: bool = False, bigseen: int = 0
+    cores: int, bloom: bool = False, bigseen: int = 0, deep: int = 0
 ) -> dict:
     """Run one scaling rep in a CHILD python process.
 
@@ -378,6 +402,8 @@ def _crawl_rep_subprocess(
         args.append("--bloom")
     if bigseen:
         args += ["--bigseen", str(bigseen)]
+    if deep:
+        args += ["--deep", str(deep)]
     proc = subprocess.run(
         args,
         capture_output=True,
@@ -407,12 +433,18 @@ def _queries_phase() -> dict[str, float]:
     first = next(iter(qmap.values()), None)
     if first is not None:
         first(spark, SF_DIR).count()
+    # min-of-2 per query: single-shot timings on this host swing ~2x on
+    # unchanged plans (co-tenant noise); two passes in ONE session keep
+    # the second rep plan-warm, and min is the noise-robust estimator
     queries: dict[str, float] = {}
-    for name, fn in qmap.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.count()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name, fn in qmap.items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in queries or dt < queries[name]:
+                queries[name] = dt
     spark.stop()
     return queries
 
@@ -434,6 +466,29 @@ def _queries_phase_subprocess() -> dict[str, float]:
     )
 
 
+def _deep_brief(rep: dict | None) -> dict | None:
+    """Deep-frontier evidence row: per-wave walls + the flat-tail ratio
+    (mean wall of waves 6+ over mean wall of waves 2-5; ≤1.2 = flat)."""
+    if not rep:
+        return None
+    walls = rep.get("wave_walls_sec") or []
+    early = walls[2:5]
+    late = walls[5:]
+    ratio = (
+        round((sum(late) / len(late)) / (sum(early) / len(early)), 3)
+        if early and late and sum(early) > 0
+        else None
+    )
+    return {
+        "seconds": round(rep["seconds"], 2),
+        "waves": rep["waves"],
+        "fetches": rep["fetches"],
+        "wave_walls_sec": walls,
+        "wave_fetches": rep.get("wave_fetches"),
+        "late_over_early_wall_ratio": ratio,
+    }
+
+
 def _brief(rep: dict | None) -> dict | None:
     if not rep:
         return None
@@ -447,10 +502,12 @@ def _brief(rep: dict | None) -> dict | None:
 
 def main() -> None:
     if "--crawl-rep" in sys.argv:
-        global BENCH_BLOOM, BENCH_BIGSEEN
+        global BENCH_BLOOM, BENCH_BIGSEEN, BENCH_DEEP
         BENCH_BLOOM = "--bloom" in sys.argv
         if "--bigseen" in sys.argv:
             BENCH_BIGSEEN = int(sys.argv[sys.argv.index("--bigseen") + 1])
+        if "--deep" in sys.argv:
+            BENCH_DEEP = int(sys.argv[sys.argv.index("--deep") + 1])
         cores = int(sys.argv[sys.argv.index("--crawl-rep") + 1])
         print("LEVEL_JSON " + json.dumps(_crawl_rep(cores)), flush=True)
         return
@@ -469,28 +526,28 @@ def main() -> None:
     # high level was exactly as slow as the low one.  Min per level is
     # the noise-robust estimator; the per-rep walls and the delivered-
     # parallelism calibrations are all reported as evidence.
-    low_reps: list[dict] = []
-    high_reps: list[dict] = []
-    for _ in range(REPS):
-        low_reps.append(_crawl_rep_subprocess(LOW_CORES))
-        high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
-    crawl_low = min(low_reps, key=lambda r: r["seconds"])
-    crawl_high = min(high_reps, key=lambda r: r["seconds"])
-    # bloom-sidecar rows at the high level: the north rule's named
-    # structure under the same protocol.  The big-seen A/B pre-populates
-    # seen with 10x the wave size (the mid-frontier / 10^10 regime) —
-    # counters are identical in all four crawl modes (disjoint hosts);
-    # the bloom pre-filter's job is to win THAT pair, not cold start.
-    # A/B reps interleave and take min per arm: this host's co-tenant
-    # noise swings single reps by 2-3x.
+    # ONE rotation interleaving ALL crawl arms — scaling low/high plus
+    # the four A/B arms (plain cold = the scaling high rep itself,
+    # bloom cold, big-seen plain, big-seen bloom): any window of
+    # co-tenant contention hits every arm instead of silently biasing
+    # whichever arm ran inside it.  REPS (≥3) rep pairs per arm; min per
+    # arm is the noise-robust estimator; per-rep walls all reported.
+    # The big-seen A/B pre-populates seen with 10x the wave size (the
+    # mid-frontier / 10^10 regime) — counters are identical in all four
+    # crawl modes (disjoint hosts); the bloom pre-filter's job is to
+    # win THAT pair, not cold start.
     bigseen_n = int(
         os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "3000000")
     )
+    low_reps: list[dict] = []
+    high_reps: list[dict] = []
     bloom_arm: list[dict] = []
     bs_plain_arm: list[dict] = []
     bs_bloom_arm: list[dict] = []
-    try:
-        for _ in range(2):
+    for _ in range(REPS):
+        low_reps.append(_crawl_rep_subprocess(LOW_CORES))
+        high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
+        try:
             bloom_arm.append(_crawl_rep_subprocess(HIGH_CORES, bloom=True))
             bs_plain_arm.append(
                 _crawl_rep_subprocess(HIGH_CORES, bigseen=bigseen_n)
@@ -500,8 +557,10 @@ def main() -> None:
                     HIGH_CORES, bloom=True, bigseen=bigseen_n
                 )
             )
-    except RuntimeError:
-        pass
+        except RuntimeError:
+            pass
+    crawl_low = min(low_reps, key=lambda r: r["seconds"])
+    crawl_high = min(high_reps, key=lambda r: r["seconds"])
     crawl_bloom = min(bloom_arm, key=lambda r: r["seconds"], default=None)
     crawl_bigseen = min(
         bs_plain_arm, key=lambda r: r["seconds"], default=None
@@ -509,6 +568,14 @@ def main() -> None:
     crawl_bigseen_bloom = min(
         bs_bloom_arm, key=lambda r: r["seconds"], default=None
     )
+    # deep-frontier arm: one 10-wave rep with compaction + bloom +
+    # salting on; evidence = flat per-wave wall (waves 6+ vs waves 2-5)
+    try:
+        crawl_deep = _crawl_rep_subprocess(
+            HIGH_CORES, deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10"))
+        )
+    except RuntimeError:
+        crawl_deep = None
 
     queries = _queries_phase_subprocess()
     queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
@@ -554,15 +621,27 @@ def main() -> None:
             "fetches": crawl_high["fetches"],
             "visits": crawl_high["visits"],
         },
-        "crawl_bloom": _brief(crawl_bloom),
-        "crawl_bigseen": dict(_brief(crawl_bigseen) or {}, seen=bigseen_n)
+        "crawl_bloom": dict(
+            _brief(crawl_bloom) or {},
+            reps_sec=[round(r["seconds"], 2) for r in bloom_arm],
+        )
+        if crawl_bloom
+        else None,
+        "crawl_bigseen": dict(
+            _brief(crawl_bigseen) or {},
+            seen=bigseen_n,
+            reps_sec=[round(r["seconds"], 2) for r in bs_plain_arm],
+        )
         if crawl_bigseen
         else None,
         "crawl_bigseen_bloom": dict(
-            _brief(crawl_bigseen_bloom) or {}, seen=bigseen_n
+            _brief(crawl_bigseen_bloom) or {},
+            seen=bigseen_n,
+            reps_sec=[round(r["seconds"], 2) for r in bs_bloom_arm],
         )
         if crawl_bigseen_bloom
         else None,
+        "crawl_deep": _deep_brief(crawl_deep),
         "scaling": {
             "cores_low": LOW_CORES,
             "cores_high": HIGH_CORES,

@@ -172,6 +172,11 @@ class Options:
     bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000
     bloom_fpp: float = 0.01
+    # fold seen increments into the bitmaps only once this many pending
+    # rows accumulate (they are probed exactly via broadcast meanwhile);
+    # 0 = auto (shard capacity / 8).  Keeps the common wave at ZERO
+    # bloom-maintenance jobs.
+    bloom_fold_min_rows: int = 0
     # probe strategy: "join" broadcasts the shard words and bit-tests
     # in pure JVM expressions (no Python, no candidate shuffle — the
     # fast path while the filter fits a broadcast); "cogroup" keeps

@@ -57,6 +57,8 @@ def admit_candidates(
     filter_factory=None,
     bloom_df: DataFrame | None = None,
     pin=None,
+    bloom_words: DataFrame | None = None,
+    bloom_pending: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate candidates with canonical columns + admission verdicts.
 
@@ -87,19 +89,52 @@ def admit_candidates(
     if bloom_df is not None:
         from crawlspark.operators.seen import apply_bloom_df, apply_bloom_join
 
-        apply = (
-            apply_bloom_join
-            if getattr(opts, "bloom_probe", "join") == "join"
-            else apply_bloom_df
-        )
-        df = apply(
-            df,
-            bloom_df,
-            url_col="url_norm",
-            num_partitions=opts.bloom_partitions,
-            expected_per_partition=opts.bloom_expected_per_partition,
-            fpp=opts.bloom_fpp,
-        )
+        if getattr(opts, "bloom_probe", "join") == "join":
+            df = apply_bloom_join(
+                df,
+                bloom_df,
+                url_col="url_norm",
+                num_partitions=opts.bloom_partitions,
+                expected_per_partition=opts.bloom_expected_per_partition,
+                fpp=opts.bloom_fpp,
+                word_rows=bloom_words,
+            )
+        else:
+            df = apply_bloom_df(
+                df,
+                bloom_df,
+                url_col="url_norm",
+                num_partitions=opts.bloom_partitions,
+                expected_per_partition=opts.bloom_expected_per_partition,
+                fpp=opts.bloom_fpp,
+            )
+        if bloom_pending is not None:
+            # seen increments not yet folded into the filter (the engine
+            # folds lazily — rebuilding MB-scale bitmaps for a small
+            # wave increment costs more than it prunes).  A pending hit
+            # must count as "maybe seen" or those URLs would skip the
+            # exact join and be re-admitted: bloom ∪ pending covers
+            # exactly the full seen set, preserving no-false-negatives.
+            # Pending is bounded by the fold threshold → broadcast-able.
+            # distinct: a duplicate key on the right of the left join
+            # would duplicate candidate rows (small side, cheap)
+            pend = (
+                bloom_pending.select(F.col("url_norm").alias("_pend_url"))
+                .distinct()
+                .withColumn("_pend", F.lit(True))
+            )
+            df = (
+                df.join(
+                    F.broadcast(pend),
+                    df["url_norm"] == F.col("_pend_url"),
+                    "left",
+                )
+                .withColumn(
+                    "maybe_seen",
+                    F.col("maybe_seen") | F.coalesce(F.col("_pend"), F.lit(False)),
+                )
+                .drop("_pend_url", "_pend")
+            )
         if pin is not None:
             df = pin(df)  # maybe_keys forks df — evaluate the probe once
         # THE structural win: the bloom bounds the maybe-set to true

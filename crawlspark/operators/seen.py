@@ -169,31 +169,17 @@ def apply_bloom(
     return hashed.mapInPandas(test, schema + ", maybe_seen boolean")
 
 
-def apply_bloom_join(
-    candidates: DataFrame,
-    shards: DataFrame,
-    url_col: str = "url_norm",
-    num_partitions: int = 32,
-    expected_per_partition: int = 1_000_000,
-    fpp: float = 0.01,
-) -> DataFrame:
-    """Annotate candidates with ``maybe_seen`` — PURE-JVM probe.
+def bloom_words(shards: DataFrame) -> DataFrame:
+    """Convert ``(pid, bitmap)`` shards into probe-ready
+    ``(pid, m_bits, words array<bigint>)`` rows (ORing unmerged
+    increment rows per pid).
 
-    The shard bitmaps (MB-scale total) convert once per wave into
-    ``array<bigint>`` word rows and broadcast-join onto the candidates
-    by pid; the k double-hash bit tests are ``element_at`` + unsigned
-    shifts inside whole-stage codegen.  No Python in the probe, no
-    extra shuffle of the candidate rows (vs the cogroup form, which
-    Arrow-round-trips every candidate and shuffles them by pid).
-
-    This is the executor-cheap path while the total filter fits a
-    broadcast (up to GB-scale); beyond that — the full 10^10-URL
-    regime, ~12 GB of shards — use :func:`apply_bloom_df`, which keeps
-    shards fully distributed.
+    Factored out of :func:`apply_bloom_join` so the engine can run the
+    conversion ONCE per bloom (re)build, persist the few-MB result, and
+    reuse it for every wave's probe — instead of paying an
+    applyInPandas job per wave on an unchanged filter.
     """
     import pandas as pd
-
-    m, k = bloom_params(expected_per_partition, fpp)
 
     def to_words(pdf):
         out = []
@@ -207,10 +193,42 @@ def apply_bloom_join(
             out.append((int(pid), m_bits, words.tolist()))
         return pd.DataFrame(out, columns=["pid", "m_bits", "words"])
 
-    word_rows = shards.groupBy("pid").applyInPandas(
+    return shards.groupBy("pid").applyInPandas(
         lambda key, pdf: to_words(_or_shard(pdf)),
         "pid int, m_bits bigint, words array<bigint>",
     )
+
+
+def apply_bloom_join(
+    candidates: DataFrame,
+    shards: DataFrame | None = None,
+    url_col: str = "url_norm",
+    num_partitions: int = 32,
+    expected_per_partition: int = 1_000_000,
+    fpp: float = 0.01,
+    word_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Annotate candidates with ``maybe_seen`` — PURE-JVM probe.
+
+    The shard bitmaps (MB-scale total) convert into ``array<bigint>``
+    word rows (pass a precomputed/persisted ``word_rows`` to skip the
+    conversion) and broadcast-join onto the candidates by pid; the k
+    double-hash bit tests are ``element_at`` + unsigned shifts inside
+    whole-stage codegen.  No Python in the probe, no extra shuffle of
+    the candidate rows (vs the cogroup form, which Arrow-round-trips
+    every candidate and shuffles them by pid).
+
+    This is the executor-cheap path while the total filter fits a
+    broadcast (up to GB-scale); beyond that — the full 10^10-URL
+    regime, ~12 GB of shards — use :func:`apply_bloom_df`, which keeps
+    shards fully distributed.
+    """
+    m, k = bloom_params(expected_per_partition, fpp)
+
+    if word_rows is None:
+        if shards is None:
+            raise ValueError("apply_bloom_join needs shards or word_rows")
+        word_rows = bloom_words(shards)
 
     hashed = _with_hashes(candidates, url_col, num_partitions)
     joined = hashed.join(

@@ -306,20 +306,43 @@ class CrawlEngine:
             )
         else:
             candidates = self._seed_candidates(seeds)
-        candidates, _n_seeds_meta = self._ckpt_counted(
-            candidates, "seed_candidates", -1
-        )
+        def _seed_hosts_df(cand: DataFrame) -> DataFrame:
+            # seed hosts (crawler.go:80-86): normalized hosts of ALL
+            # seeds, before any policy filtering
+            return (
+                cand.withColumn("_c", self._canon(F.col("url")))
+                .select(F.col("_c.host").alias("seed_host"))
+                .filter(
+                    F.col("seed_host").isNotNull() & (F.col("seed_host") != "")
+                )
+                .distinct()
+            )
 
-        # seed hosts (crawler.go:80-86): normalized hosts of ALL seeds,
-        # before any policy filtering
-        seed_hosts, _n_hosts_meta = self._ckpt_counted(
-            candidates.withColumn("_c", self._canon(F.col("url")))
-            .select(F.col("_c.host").alias("seed_host"))
-            .filter(F.col("seed_host").isNotNull() & (F.col("seed_host") != ""))
-            .distinct(),
-            "seed_hosts",
-            -1,
-        )
+        if opts.parallel_checkpoints:
+            # the two seed-stage commits are independent jobs — overlap
+            # them (seed_hosts derives from the UNCOMMITTED candidates
+            # plan, which is deterministic, so both writes can run
+            # concurrently); serial they were ~1/4 of the fixed latency
+            # of a short crawl
+            from concurrent.futures import ThreadPoolExecutor
+
+            _seed_hosts_plan = _seed_hosts_df(candidates)
+            with ThreadPoolExecutor(2) as pool:
+                f_cand = pool.submit(
+                    self._ckpt_counted, candidates, "seed_candidates", -1
+                )
+                f_hosts = pool.submit(
+                    self._ckpt_counted, _seed_hosts_plan, "seed_hosts", -1
+                )
+                candidates, _n_seeds_meta = f_cand.result()
+                seed_hosts, _n_hosts_meta = f_hosts.result()
+        else:
+            candidates, _n_seeds_meta = self._ckpt_counted(
+                candidates, "seed_candidates", -1
+            )
+            seed_hosts, _n_hosts_meta = self._ckpt_counted(
+                _seed_hosts_df(candidates), "seed_hosts", -1
+            )
         # both tables were just durably committed — take the counts
         # from commit metadata (footers) instead of two count jobs
         if _n_seeds_meta is not None and _n_hosts_meta is not None:
@@ -392,8 +415,22 @@ class CrawlEngine:
         # would be a false-negative hole the exact join never gets to
         # repair, because definitely-unseen candidates skip it.
         bloom_df: DataFrame | None = None
+        bloom_words_df: DataFrame | None = None
+        bloom_pending_parts: list[DataFrame] = []
+        bloom_pending_rows = 0
+        # lazy-fold threshold: rebuilding MB-scale bitmaps + re-deriving
+        # the probe words for a small wave increment costs more than the
+        # increment's pruning is worth — accumulate increments as a
+        # broadcast-probed pending set and fold only when they amount to
+        # a meaningful fraction of a shard's capacity
+        bloom_fold_min = opts.bloom_fold_min_rows
+        if bloom_fold_min <= 0:
+            bloom_fold_min = max(
+                100_000,
+                opts.bloom_expected_per_partition * opts.bloom_partitions // 8,
+            )
         if opts.use_bloom_seen:
-            from crawlspark.operators.seen import build_bloom
+            from crawlspark.operators.seen import bloom_words, build_bloom
 
             bloom_df = self._ckpt(
                 build_bloom(
@@ -405,6 +442,12 @@ class CrawlEngine:
                 "bloom",
                 -1,
             )
+            if opts.bloom_probe == "join":
+                # probe-ready word rows, converted ONCE per (re)build
+                # and persisted: the per-wave probe then only pays a
+                # few-MB broadcast of cached rows, not an applyInPandas
+                # conversion job on an unchanged filter
+                bloom_words_df = bloom_words(bloom_df).persist()
 
         cached_df = None
         if ext.request_robots:
@@ -463,6 +506,12 @@ class CrawlEngine:
             adm = admit_candidates(
                 candidates, seen, seed_hosts, opts, ext.filter_factory,
                 bloom_df=bloom_df,
+                bloom_words=bloom_words_df,
+                bloom_pending=(
+                    reduce(DataFrame.unionByName, bloom_pending_parts)
+                    if bloom_pending_parts
+                    else None
+                ),
                 pin=(
                     _pin_fork
                     if (opts.salt_hot_hosts or opts.use_bloom_seen)
@@ -1029,24 +1078,52 @@ class CrawlEngine:
                 ]
                 seen_snapshot_wave = wave
             if bloom_df is not None:
-                from crawlspark.operators.seen import build_bloom, merge_blooms
+                # LAZY fold: this wave's increment joins the pending set
+                # (probed exactly via broadcast in admission); the
+                # bitmap rebuild + word-row re-derivation only runs once
+                # the pending rows amount to a meaningful fraction of
+                # shard capacity.  Per-wave bloom cost in the common
+                # case: zero jobs.
+                bloom_pending_parts.append(seen_inc)
+                inc_n = (
+                    self._store.rows("seen_inc", wave)
+                    if self._store is not None
+                    else None
+                )
+                if inc_n is None:
+                    # no metadata count (non-durable mode) — bound the
+                    # pending set by wave count instead of rows
+                    fold_now = len(bloom_pending_parts) >= 4
+                else:
+                    bloom_pending_rows += inc_n
+                    fold_now = bloom_pending_rows >= bloom_fold_min
+                if fold_now:
+                    from crawlspark.operators.seen import (
+                        bloom_words,
+                        build_bloom,
+                        merge_blooms,
+                    )
 
-                # shard-table update, fully executor-side: build the
-                # increment's shards from the committed seen_inc, OR
-                # them into the running table with a 32-row cogroup,
-                # commit.  One small extra job per wave; nothing ever
-                # lands on the driver.
-                bloom_inc = build_bloom(
-                    seen_inc,
-                    num_partitions=opts.bloom_partitions,
-                    expected_per_partition=opts.bloom_expected_per_partition,
-                    fpp=opts.bloom_fpp,
-                )
-                bloom_df = self._ckpt(
-                    merge_blooms(bloom_df.unionByName(bloom_inc)),
-                    "bloom",
-                    wave,
-                )
+                    # fold pending increments in ONE build pass, OR into
+                    # the shard table with a |pid|-row cogroup, commit —
+                    # all executor-side; nothing lands on the driver.
+                    bloom_inc = build_bloom(
+                        reduce(DataFrame.unionByName, bloom_pending_parts),
+                        num_partitions=opts.bloom_partitions,
+                        expected_per_partition=opts.bloom_expected_per_partition,
+                        fpp=opts.bloom_fpp,
+                    )
+                    bloom_df = self._ckpt(
+                        merge_blooms(bloom_df.unionByName(bloom_inc)),
+                        "bloom",
+                        wave,
+                    )
+                    bloom_pending_parts = []
+                    bloom_pending_rows = 0
+                    if bloom_words_df is not None:
+                        bloom_words_df.unpersist()
+                    if opts.bloom_probe == "join":
+                        bloom_words_df = bloom_words(bloom_df).persist()
             _t = _tick("state_ckpts", _t)
 
             by_tag = {r["_which"]: r for r in stats}
@@ -1209,6 +1286,8 @@ class CrawlEngine:
         c.end = 1
         if ext.end is not None:
             ext.end(err)
+        if bloom_words_df is not None:
+            bloom_words_df.unpersist()
         return CrawlResult(
             counters=c,
             err=err,

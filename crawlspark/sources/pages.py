@@ -87,6 +87,21 @@ class PagesSource:
         self.robots_pages = slim.filter(
             F.lower(F.col("fetch_path")) == "/robots.txt"
         ).persist()
+        if (
+            redirects is not None
+            and versioned
+            and "warc_ts" in redirects.columns
+        ):
+            # as-of semantics aligned with pages: a redirect URL with
+            # multiple warc_ts versions serves its LATEST row, computed
+            # once at construction (the side table is dim-sized, so the
+            # window is cheap and the per-wave join stays broadcast)
+            rw = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+            redirects = (
+                redirects.withColumn("_rn", F.row_number().over(rw))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "warc_ts")
+            )
         self.redirects = redirects
 
     def _join(

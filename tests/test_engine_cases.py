@@ -473,6 +473,49 @@ class TestRedirects:
         assert rows[0]["url_norm"] == "http://rhost/p3/"
         assert rows[0]["state"] == "S1"  # State preserved via clones
 
+    def test_versioned_redirect_asof_latest(self, spark):
+        """A redirect URL with multiple warc_ts versions serves its
+        LATEST location — the same as-of semantics the pages table gets
+        (pages.py versioned window), applied to the side table."""
+        import datetime
+
+        from crawlspark.sources.pages import PagesSource
+
+        ts_old = datetime.datetime(2020, 1, 1)
+        ts_new = datetime.datetime(2023, 6, 1)
+        pages = spark.createDataFrame(
+            [
+                ("http://rhost/old", ts_old, b"old", "old", "en"),
+                ("http://rhost/new", ts_new, b"new", "new", "en"),
+                ("http://rhost/robots.txt", ts_old, b"ok", "ok", "en"),
+            ],
+            schema=(
+                "url string, warc_ts timestamp, html binary, "
+                "text string, lang string"
+            ),
+        )
+        redirects = spark.createDataFrame(
+            [
+                ("http://rhost/p1", 307, "http://rhost/old", ts_old),
+                ("http://rhost/p1", 307, "http://rhost/new", ts_new),
+            ],
+            schema="url string, status int, location string, warc_ts timestamp",
+        )
+        src = PagesSource(pages, redirects=redirects)
+        # construction resolved the side table to one row per url
+        resolved = src.redirects.collect()
+        assert len(resolved) == 1
+        assert resolved[0]["location"] == "http://rhost/new"
+        res = crawl(
+            spark, src, [("http://rhost/p1", "S1")],
+            Options(
+                crawl_delay_ms=1,
+                url_normalization_flags=NF.ADD_TRAILING_SLASH,
+            ),
+        )
+        visited = [r["url_norm"] for r in res.visit_log.collect()]
+        assert visited == ["http://rhost/new/"]
+
 
 class TestPolitenessBudget:
     def test_per_host_wave_cap_defers_without_recount(self, spark, fixture_pages):

@@ -178,3 +178,51 @@ class TestInjectDrainCap:
         second = q.drain()
         assert {u for u, _ in second} == {"http://inj/b2p0", "http://inj/b2p1"}
         assert q.drain() == []
+
+
+class TestBloomLazyFold:
+    """The engine folds seen increments into the bitmaps lazily (pending
+    increments are probed exactly via broadcast meanwhile).  Every fold
+    policy must produce identical counters and visit order to the
+    bloom-off crawl — and the never-fold case must not commit any
+    per-wave bloom state."""
+
+    def _crawl(self, spark, fixture_pages, ck, **opt_kw):
+        res = CrawlEngine(
+            spark,
+            fixture_pages,
+            Options(crawl_delay_ms=100, checkpoint_dir=ck, **opt_kw),
+        ).run(["http://hosta/page1.html", "http://hostb/page1.html"])
+        return res
+
+    def test_fold_policies_match_plain(self, spark, fixture_pages, tmp_path):
+        base = self._crawl(spark, fixture_pages, str(tmp_path / "p"))
+        lazy = self._crawl(
+            spark, fixture_pages, str(tmp_path / "l"),
+            use_bloom_seen=True, bloom_partitions=4,
+            bloom_expected_per_partition=1000,
+            bloom_fold_min_rows=10_000,  # never folds at fixture scale
+        )
+        eager = self._crawl(
+            spark, fixture_pages, str(tmp_path / "e"),
+            use_bloom_seen=True, bloom_partitions=4,
+            bloom_expected_per_partition=1000,
+            bloom_fold_min_rows=1,  # folds after every wave
+        )
+        for res in (lazy, eager):
+            assert vars(res.counters) == vars(base.counters)
+            assert _visit_order(res) == _visit_order(base)
+        # never-fold: only the seed-stage bloom commit exists — no
+        # per-wave bloom maintenance jobs ran
+        lazy_root = str(tmp_path / "l")
+        assert os.path.exists(os.path.join(lazy_root, "seed", "bloom"))
+        for w in range(lazy.waves):
+            assert not os.path.exists(
+                os.path.join(lazy_root, f"wave={w}", "bloom")
+            )
+        # eager: every wave with a nonempty increment re-committed shards
+        eager_root = str(tmp_path / "e")
+        assert any(
+            os.path.exists(os.path.join(eager_root, f"wave={w}", "bloom"))
+            for w in range(eager.waves)
+        )
