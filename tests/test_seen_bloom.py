@@ -201,3 +201,75 @@ def test_engine_with_bloom_matches_exact(spark, fixture_pages):
     s1 = {r[0] for r in base.seen.select("url_norm").collect()}
     s2 = {r[0] for r in bloomed.seen.select("url_norm").collect()}
     assert s1 == s2
+
+
+def test_initial_bloom_prebuilt_matches_build(spark, fixture_pages):
+    """run(initial_seen=..., initial_bloom=...) with caller-prebuilt
+    shards behaves identically to letting the engine build them from
+    initial_seen (the mid-frontier shape: at 10^10 URLs the filter is
+    durable state, never rebuilt at run start).  page2 pre-seen must
+    stay unvisited; counters and seen set match the built path."""
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    initial = spark.createDataFrame(
+        [("http://hosta/page2.html", "hosta", -1)],
+        "url_norm string, host string, wave_added int",
+    )
+    bopts = dict(
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        bloom_expected_per_partition=1000, bloom_fpp=0.01,
+    )
+    seeds = ["http://hosta/page1.html"]
+    built = CrawlEngine(spark, fixture_pages, Options(**bopts)).run(
+        seeds, initial_seen=initial
+    )
+    prebuilt_shards = build_bloom(
+        initial, num_partitions=4, expected_per_partition=1000, fpp=0.01
+    )
+    pre = CrawlEngine(spark, fixture_pages, Options(**bopts)).run(
+        seeds, initial_seen=initial, initial_bloom=prebuilt_shards
+    )
+    assert vars(pre.counters) == vars(built.counters)
+    s1 = {r[0] for r in built.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in pre.seen.select("url_norm").collect()}
+    assert s1 == s2
+    assert "http://hosta/page2.html" in s2
+    visited = {
+        r["url_norm"] for r in pre.visit_log.select("url_norm").collect()
+    }
+    assert "http://hosta/page2.html" not in visited
+
+
+def test_resume_reads_committed_shards(spark, fixture_pages, tmp_path):
+    """Bloom-on resume must consume the COMMITTED fold (manifest
+    bloom_fold_wave → shards + post-fold increments as the pending
+    set) rather than rebuilding from the seen union — verified by
+    corrupting the only state a rebuild would read."""
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    bopts = dict(
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        bloom_expected_per_partition=1000, bloom_fpp=0.01,
+    )
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    full = CrawlEngine(spark, fixture_pages, Options(**bopts)).run(seeds)
+    ck = str(tmp_path / "ck")
+    CrawlEngine(
+        spark, fixture_pages, Options(checkpoint_dir=ck, max_waves=1, **bopts)
+    ).run(seeds)
+    import json
+    import os
+
+    with open(os.path.join(ck, "MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest.get("bloom_fold_wave") is not None
+    resumed = CrawlEngine(
+        spark, fixture_pages, Options(checkpoint_dir=ck, **bopts)
+    ).resume(seeds)
+    assert resumed.counters.visit == full.counters.visit
+    assert resumed.counters.filter == full.counters.filter
+    s1 = {r[0] for r in full.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in resumed.seen.select("url_norm").collect()}
+    assert s1 == s2
