@@ -217,30 +217,46 @@ def _ensure_pages(spark) -> str:
 def _seeds_df(spark):
     """Deterministic seed frontier as a JVM-side DataFrame.
 
-    Round-robin over hosts, k-th page of each host, dropping indices
-    past a host's page range.  Built with range + a broadcast bounds
-    join so the (large) seed list never exists driver-side — shipping
+    Per-host seed quotas PROPORTIONAL to the host's Zipf page count
+    (evenly strided inside each host's range): the earlier round-robin
+    k-th-page scheme saturated on Zipf-small hosts — past ~200k
+    requested seeds most hosts had no k-th page left, so doubling
+    BENCH_SEEDS grew the actual frontier only ~20%, capping the wave
+    size the scaling measurement depends on.  Proportional allocation
+    yields ≈BENCH_SEEDS exactly at any level up to BENCH_PAGES.
+
+    Only the 20k-row per-host quota table exists driver-side; the seed
+    rows themselves are born on executors from one explode (shipping
     10^5+ python strings through createDataFrame was ~7s of pure
-    serial driver latency per measured run, at every parallelism level."""
+    serial driver latency per measured run, at every parallelism
+    level)."""
     from pyspark.sql import functions as F
 
     from crawlspark.fixtures import zipf_bounds
 
     bounds = zipf_bounds(BENCH_PAGES, BENCH_HOSTS)
-    bdf = spark.createDataFrame(
-        [(h, bounds[h], bounds[h + 1]) for h in range(BENCH_HOSTS)],
-        "h int, lo long, hi long",
-    )
+    total = bounds[-1]
+    rows = []
+    for h in range(BENCH_HOSTS):
+        lo, hi = bounds[h], bounds[h + 1]
+        size = hi - lo
+        q = min(size, round(BENCH_SEEDS * size / total))
+        if q > 0:
+            rows.append((h, lo, int(q), size // q))
+    bdf = spark.createDataFrame(rows, "h int, lo long, q int, step long")
     return (
-        spark.range(BENCH_SEEDS)
-        .withColumn("h", (F.col("id") % BENCH_HOSTS).cast("int"))
-        .withColumn("k", (F.col("id") / BENCH_HOSTS).cast("long"))
-        .join(F.broadcast(bdf), on="h")
-        .withColumn("pid", F.col("lo") + F.col("k"))
-        .filter(F.col("pid") < F.col("hi"))
+        bdf.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "h",
+            "lo",
+            "step",
+            F.explode(F.sequence(F.lit(0), F.col("q") - 1)).alias("k"),
+        )
         .select(
             F.format_string(
-                "http://host%d.example/p%d.html", F.col("h"), F.col("pid")
+                "http://host%d.example/p%d.html",
+                F.col("h"),
+                F.col("lo") + F.col("k") * F.col("step"),
             ).alias("url")
         )
     )
@@ -290,7 +306,13 @@ def _crawl_once(spark, pages_path: str) -> dict:
         # compose-parity pytest pins counters identical) — this arm
         # evidences flat per-wave wall at depth, not peak throughput
         seen_compact_every=5 if BENCH_DEEP else 8,
-        salt_hot_hosts=bool(BENCH_DEEP),
+        # proportional seed quotas make host0 ~20% of the frontier (the
+        # honest Zipf shape); without salting its per-host FIFO window
+        # sort runs on ONE task and serializes the high level's tail.
+        # The salted path is exact (bit-identical to the plain window,
+        # pinned by tests/test_skew.py), so it is on for every arm —
+        # at 10^10 URLs no one crawls hot hosts unsalted.
+        salt_hot_hosts=True,
     )
     eng = CrawlEngine(spark, pages, opts)
     initial_seen = None
