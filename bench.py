@@ -430,7 +430,11 @@ def _crawl_rep(cores: int) -> dict:
 
 
 def _crawl_rep_subprocess(
-    cores: int, bloom: bool = False, bigseen: int = 0, deep: int = 0
+    cores: int,
+    bloom: bool = False,
+    bigseen: int = 0,
+    deep: int = 0,
+    seeds: int = 0,
 ) -> dict:
     """Run one scaling rep in a CHILD python process.
 
@@ -450,11 +454,20 @@ def _crawl_rep_subprocess(
         args += ["--bigseen", str(bigseen)]
     if deep:
         args += ["--deep", str(deep)]
+    env = dict(os.environ)
+    if seeds:
+        # arm-specific frontier size: the scaling pair needs waves big
+        # enough that parallel work dominates per-wave latency, while
+        # the big-seen A/B wants a SMALLER wave against a 16M-row seen
+        # table (higher seen/wave contrast = the mid-frontier regime,
+        # and a bounded bench wall)
+        env["SPARK_GRAFT_BENCH_SEEDS"] = str(seeds)
     proc = subprocess.run(
         args,
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("LEVEL_JSON "):
@@ -591,22 +604,38 @@ def main() -> None:
     bigseen_n = int(
         os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "16000000")
     )
+    # the big-seen A/B runs at its own (smaller) frontier size: the
+    # regime the bloom sidecar exists for is seen >> wave (mid-crawl at
+    # 10^10 the ratio is 10^4), so a 200k wave vs 16M seen (80x) is the
+    # honest shape — and it bounds the A/B's share of the bench wall
+    ab_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_AB_SEEDS", "200000"))
     low_reps: list[dict] = []
     high_reps: list[dict] = []
     bloom_arm: list[dict] = []
     bs_plain_arm: list[dict] = []
     bs_bloom_arm: list[dict] = []
-    for _ in range(REPS):
+    for i in range(REPS):
         low_reps.append(_crawl_rep_subprocess(LOW_CORES))
         high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
         try:
-            bloom_arm.append(_crawl_rep_subprocess(HIGH_CORES, bloom=True))
+            if i == 0:
+                # cold-start bloom sanity row (overhead vs crawl_high is
+                # the comparison; the win criterion lives in the
+                # big-seen pair, so one rep suffices here)
+                bloom_arm.append(
+                    _crawl_rep_subprocess(HIGH_CORES, bloom=True)
+                )
             bs_plain_arm.append(
-                _crawl_rep_subprocess(HIGH_CORES, bigseen=bigseen_n)
+                _crawl_rep_subprocess(
+                    HIGH_CORES, bigseen=bigseen_n, seeds=ab_seeds
+                )
             )
             bs_bloom_arm.append(
                 _crawl_rep_subprocess(
-                    HIGH_CORES, bloom=True, bigseen=bigseen_n
+                    HIGH_CORES,
+                    bloom=True,
+                    bigseen=bigseen_n,
+                    seeds=ab_seeds,
                 )
             )
         except RuntimeError:
