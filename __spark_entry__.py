@@ -282,6 +282,15 @@ def _q_dedup_pipeline(spark, sf):
     return dedup_pipeline(_t(spark, sf, "documents"))
 
 
+def _q_dedup_clusters(spark, sf):
+    # pair graph -> duplicate CLUSTERS: LSH pairs verified by exact
+    # Jaccard, resolved into connected components (min-label
+    # propagation + pointer jumping), one keeper per cluster
+    from crawlspark.operators.components import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf, "documents"))
+
+
 def _q_simhash(spark, sf):
     from crawlspark.operators.textops import simhash16
 
@@ -375,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_pipeline": _q_dedup_pipeline,
+        "dedup_clusters": _q_dedup_clusters,
         "media_features": _q_media_features,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -699,6 +709,43 @@ FROM inter i
 JOIN nb ON nb.a_id = i.a_id AND nb.b_id = i.b_id
 JOIN sizes sa ON sa.doc_id = i.a_id
 JOIN sizes sb ON sb.doc_id = i.b_id
+""",
+        # near-dup cluster resolution: the recursive CTE computes each
+        # node's full reachable set over the verified pair graph and
+        # labels it with the minimum reachable id — the declarative
+        # fixpoint equivalent of the Spark side's min-label propagation
+        "dedup_clusters": "WITH RECURSIVE " + _SIGS_CTE + """,
+p2 AS (SELECT DISTINCT a_id, b_id FROM pairs),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT p2.a_id, p2.b_id, COUNT(*) AS n_common
+  FROM p2
+  JOIN dsh a ON a.doc_id = p2.a_id
+  JOIN dsh b ON b.doc_id = p2.b_id AND b.shingle = a.shingle
+  GROUP BY p2.a_id, p2.b_id
+),
+jac AS (
+  SELECT i.a_id, i.b_id,
+         CAST(floor(10000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_e4
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a_id
+  JOIN sizes sb ON sb.doc_id = i.b_id
+),
+fpairs AS (SELECT a_id, b_id FROM jac WHERE jaccard_e4 >= 3000),
+nodes AS (SELECT a_id AS id FROM fpairs UNION SELECT b_id FROM fpairs),
+edges AS (SELECT a_id AS u, b_id AS v FROM fpairs
+          UNION SELECT b_id, a_id FROM fpairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size,
+       cc.id = cc.cluster_id AS is_keeper
+FROM cc JOIN sz ON sz.cluster_id = cc.cluster_id
 """,
         "simhash": _simhash_sql(),
         "lang_id": f"""
