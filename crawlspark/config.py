@@ -165,10 +165,17 @@ class Options:
     seen_compact_every: int = 8
     # hot-host salted sequencing (SURVEY §4 P11): exact per-host
     # seq/cumsum via range-bucketed two-phase ranking instead of a
-    # single-partition host window; bit-identical results, 2 extra tiny
-    # shuffles — turn on for skewed frontiers, off for small parity runs
+    # single-partition host window; bit-identical results — turn on for
+    # skewed frontiers, off for small parity runs.  Only hosts whose
+    # per-wave row count reaches salt_threshold_rows take the salted
+    # path (its sampling + materialization cost a full extra pass over
+    # the subset); everything below it is a window group one task sorts
+    # in milliseconds, so it takes the plain window.  The per-wave hot
+    # scan is skipped outright when commit metadata already bounds the
+    # wave below the threshold.
     salt_hot_hosts: bool = False
     salt_buckets: int = 0  # 0 → defaultParallelism * 2
+    salt_threshold_rows: int = 1_000_000
     bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000
     bloom_fpp: float = 0.01

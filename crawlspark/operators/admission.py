@@ -59,6 +59,7 @@ def admit_candidates(
     pin=None,
     bloom_words: DataFrame | None = None,
     bloom_pending: DataFrame | None = None,
+    rows_bound: int | None = None,
 ) -> DataFrame:
     """Annotate candidates with canonical columns + admission verdicts.
 
@@ -209,13 +210,18 @@ def admit_candidates(
     first_admit_expr = F.when(
         admit_if_unvisited & ~seen_flag & ~F.col("is_robots"), _ord_rank()
     )
-    if opts.salt_hot_hosts:
+    if opts.salt_hot_hosts and (
+        rows_bound is None or rows_bound >= opts.salt_threshold_rows
+    ):
         # skew-hardened formulation: a URL linked from 10^6+ pages in one
         # wave puts all its duplicate candidates into ONE window
         # partition (WindowExec has no partial aggregation).  groupBy
         # gets map-side combine — duplicates collapse to one row per map
         # partition before the shuffle — and the join back on url_norm
         # is AQE-skew-splittable.  Same result as the window min.
+        # Gated on the wave's known row bound: below the salt threshold
+        # even a fully-duplicated wave fits one window task, and the
+        # plain window below costs two fewer exchanges and no fork pin.
         #
         # This forks df (mins + join back): without pinning, the canon
         # UDF, bloom probe and seen join — the wave's most expensive

@@ -31,6 +31,7 @@ def politeness_schedule(
     batch: DataFrame,
     opts: Options,
     compute_delay=None,
+    hot_hosts: list | None = None,
 ) -> DataFrame:
     """Annotate a fetch batch with (seq, delay_ms, sched_ms).
 
@@ -67,18 +68,21 @@ def politeness_schedule(
 
     if compute_delay is None and opts.salt_hot_hosts:
         # hot-host salted path (SURVEY §4 P11): delay needs no window
-        # here, so seq + exclusive cumsum come from the fused range-
-        # bucketed two-phase ranking — bit-identical results, no
-        # single-partition host group.  The lag-based custom
-        # compute_delay hook is a parity feature and keeps the plain
-        # window below.
-        from crawlspark.operators.skew import host_seq_cumsum_skewproof
+        # here, so seq + exclusive cumsum come from the fused two-phase
+        # ranking for the hosts in ``hot_hosts`` (detected per wave by
+        # the engine) and from the plain host window for everyone else —
+        # bit-identical results, no single-partition hot group, and no
+        # sampling/materialization pass when no host is hot.  The
+        # lag-based custom compute_delay hook is a parity feature and
+        # keeps the plain window below.
+        from crawlspark.operators.skew import host_seq_cumsum
 
         df = df.withColumn("delay_ms", default_delay)
-        df = host_seq_cumsum_skewproof(
+        df = host_seq_cumsum(
             df,
             value_col="delay_ms",
             ord_cols=ord_all,
+            hot_hosts=hot_hosts or [],
             num_buckets=opts.salt_buckets or None,
             seq_col="seq_in_wave",
             cumsum_col="_cum_excl",

@@ -44,6 +44,114 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hot_hosts_over(
+    df: DataFrame,
+    threshold: int,
+    host_col: str = "host",
+    upper_bound: int | None = None,
+) -> list:
+    """Driver-side list of hosts whose row count in ``df`` reaches
+    ``threshold`` — the hosts whose window group a single task should
+    not be asked to hold (SURVEY §4 P11).
+
+    The list is a SCHEDULING statistic, not data: it is bounded by
+    ``total_rows / threshold`` (≤ 10^4 entries even at a 10^10-row wave
+    with a 10^6 threshold), the same shape AQE's skew-join statistics
+    collect on the driver.  When ``upper_bound`` (a known bound on
+    ``df``'s total rows, e.g. from the previous wave's commit metadata)
+    is already below the threshold, no host can possibly be hot and the
+    count job is skipped entirely — the common case for every crawl
+    whose waves are merely large, not pathological."""
+    if threshold <= 0:
+        return []
+    if upper_bound is not None and upper_bound < threshold:
+        return []
+    rows = (
+        df.groupBy(host_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= threshold)
+        .select(host_col)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def host_seq(
+    df: DataFrame,
+    ord_cols: list[str],
+    hot_hosts: list,
+    host_col: str = "host",
+    num_buckets: int | None = None,
+    seq_col: str = "_rn_host",
+) -> DataFrame:
+    """Hot/cold dispatch for per-host ``row_number``: hosts in
+    ``hot_hosts`` go through the exact salted two-phase ranking; every
+    other host takes the plain window (one shuffle, zero sampling, zero
+    materialization).  Bit-identical either way (tests/test_skew.py) —
+    the split is purely a physical-plan decision.
+
+    Rationale: the range machinery's sampling pass + eager
+    localCheckpoint cost a full extra materialization of the wave, which
+    profiling showed dominating the non-scaling share of the wave wall —
+    paying it for EVERY host when only a handful (often none) have
+    window groups too big for one task was the wrong default."""
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in ord_cols])
+    if not hot_hosts:
+        return df.withColumn(seq_col, F.row_number().over(w))
+    is_hot = F.coalesce(F.col(host_col).isin(hot_hosts), F.lit(False))
+    cold = df.filter(~is_hot).withColumn(seq_col, F.row_number().over(w))
+    hot = host_seq_skewproof(
+        df.filter(is_hot),
+        ord_cols,
+        host_col=host_col,
+        num_buckets=num_buckets,
+        seq_col=seq_col,
+    )
+    return cold.unionByName(hot)
+
+
+def host_seq_cumsum(
+    df: DataFrame,
+    value_col: str,
+    ord_cols: list[str],
+    hot_hosts: list,
+    host_col: str = "host",
+    num_buckets: int | None = None,
+    seq_col: str = "seq_in_wave",
+    cumsum_col: str = "_cum_excl",
+) -> DataFrame:
+    """Hot/cold dispatch for the fused per-host row_number + exclusive
+    cumsum (the politeness schedule shape) — see :func:`host_seq`."""
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in ord_cols])
+
+    def _plain(d: DataFrame) -> DataFrame:
+        d = d.withColumn(seq_col, F.row_number().over(w))
+        return d.withColumn(
+            cumsum_col,
+            F.coalesce(
+                F.sum(F.col(value_col)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+
+    if not hot_hosts:
+        return _plain(df)
+    is_hot = F.coalesce(F.col(host_col).isin(hot_hosts), F.lit(False))
+    cold = _plain(df.filter(~is_hot))
+    hot = host_seq_cumsum_skewproof(
+        df.filter(is_hot),
+        value_col,
+        ord_cols,
+        host_col=host_col,
+        num_buckets=num_buckets,
+        seq_col=seq_col,
+        cumsum_col=cumsum_col,
+    )
+    return cold.unionByName(hot)
+
+
 def _ranged_buckets(df: DataFrame, ordering, n: int) -> DataFrame:
     """Range-partition by the ordering tuple and PIN the resulting
     bucket ids by materializing them (see CORRECTNESS NOTE above)."""

@@ -545,7 +545,10 @@ class CrawlEngine:
             # matter how many cores the cluster has.  CPU cost here is
             # per-row, not per-byte, so fan the rows back out to the
             # executor parallelism (cheap: candidate rows are tiny).
-            wave_parts = self.spark.sparkContext.defaultParallelism * 2
+            # Exactly ×1: a 2× fan-out measured strictly slower at every
+            # level (per-task fixed cost ~70 ms dominates these
+            # row-light stages; stage-grid A/B in BASELINE.md).
+            wave_parts = self.spark.sparkContext.defaultParallelism
             wave_pins: list[DataFrame] = []
 
             def _pin_fork(d: DataFrame) -> DataFrame:
@@ -567,6 +570,7 @@ class CrawlEngine:
                     if (opts.salt_hot_hosts or opts.use_bloom_seen)
                     else None
                 ),
+                rows_bound=cand_rows,
             ).repartition(wave_parts).persist()
             _t = _tick("adm_plan", _t)
             admitted = adm.filter(F.col("admitted"))
@@ -687,18 +691,47 @@ class CrawlEngine:
                     F.lit(opts.head_before_get),
                 ),
             )
+            hot_hosts: list = []
             if opts.salt_hot_hosts:
                 # salted-key skew mitigation (SURVEY §4 P11): a hot host
                 # no longer serializes one window task; FIFO order is
                 # preserved exactly (range buckets are monotone in the
-                # ordering tuple)
-                from crawlspark.operators.skew import host_seq_skewproof
+                # ordering tuple).  Hot detection runs ONCE per wave and
+                # feeds both this sequencing and the politeness schedule
+                # below; threshold/2 covers the schedule's worst-case
+                # HEAD+GET row doubling.  When commit metadata already
+                # bounds the wave below the threshold (the common case),
+                # no count job runs and every host takes the plain
+                # window — the salted machinery's sampling +
+                # materialization pass is reserved for hosts that
+                # actually need it.
+                from crawlspark.operators.skew import hot_hosts_over, host_seq
 
+                upper = (
+                    cand_rows + deferred_rows
+                    if cand_rows is not None and deferred_rows is not None
+                    else None
+                )
+                # count on the CACHE-BACKED admitted rows plus the
+                # checkpoint-backed deferred table, NOT on page_rows:
+                # page_rows' host_state join is uncached, so counting it
+                # would re-run that join once per wave just for a
+                # scheduling statistic.  admitted ∪ deferred has exactly
+                # page_base's host multiset; forcing the adm cache here
+                # only front-loads materialization the wave pays anyway.
+                hot_hosts = hot_hosts_over(
+                    admitted.select("host").unionByName(
+                        deferred.select("host")
+                    ),
+                    max(1, opts.salt_threshold_rows // 2),
+                    upper_bound=upper,
+                )
                 # url_norm as final tie-break: ord_seq is xxhash64 for
                 # DataFrame seeds, so a 64-bit collision between two
                 # same-host seeds must still order deterministically
-                page_rows = host_seq_skewproof(
+                page_rows = host_seq(
                     page_rows, ORD_COLS + ["url_norm"],
+                    hot_hosts=hot_hosts,
                     num_buckets=opts.salt_buckets or None,
                     seq_col="_rn_host",
                 )
@@ -841,7 +874,9 @@ class CrawlEngine:
                     F.lit(0).alias("ord_pos"),
                 )
             )
-            scheduled = politeness_schedule(sched_in, opts, ext.compute_delay)
+            scheduled = politeness_schedule(
+                sched_in, opts, ext.compute_delay, hot_hosts=hot_hosts
+            )
             if opts.collect_logs:
                 scheduled = scheduled.persist()
                 fetch_parts.append(

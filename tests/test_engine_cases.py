@@ -758,6 +758,7 @@ def test_all_scale_options_compose(spark, fixture_pages, tmp_path):
             bloom_partitions=4,
             bloom_expected_per_partition=1000,
             salt_hot_hosts=True,
+            salt_threshold_rows=1,  # force the salted path at fixture scale
             seen_compact_every=2,
             parallel_checkpoints=True,
             checkpoint_dir=str(tmp_path / "ck"),

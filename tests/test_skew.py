@@ -126,6 +126,69 @@ def test_fused_matches_plain_window(spark, skewed):
     )
 
 
+def test_hot_cold_split_matches_plain_window(spark, skewed):
+    """The hot/cold dispatcher (host_seq / host_seq_cumsum) with a
+    genuinely MIXED split — host0 salted, hosts 1..50 on the plain
+    window — must be bit-identical to the plain window over the union,
+    and with an empty hot list it must be the plain window exactly."""
+    from crawlspark.operators.skew import host_seq, host_seq_cumsum
+
+    w = Window.partitionBy("host").orderBy("ord_a", "ord_b")
+    plain = skewed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cs",
+        F.coalesce(
+            F.sum("delay").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    key = ["host", "ord_a", "ord_b"]
+    for hot in ([], ["host0"], ["host0", "host7"]):
+        seq = host_seq(
+            skewed, ["ord_a", "ord_b"], hot_hosts=hot, num_buckets=6,
+            seq_col="rn",
+        )
+        fused = host_seq_cumsum(
+            skewed, "delay", ["ord_a", "ord_b"], hot_hosts=hot,
+            num_buckets=6, seq_col="rn", cumsum_col="cs",
+        )
+        j1 = plain.select(*key, F.col("rn").alias("p")).join(
+            seq.select(*key, F.col("rn").alias("s")), on=key
+        )
+        assert j1.count() == skewed.count(), hot
+        assert j1.filter(F.col("p") != F.col("s")).count() == 0, hot
+        j2 = plain.select(
+            *key, F.col("rn").alias("rp"), F.col("cs").alias("cp")
+        ).join(
+            fused.select(
+                *key, F.col("rn").alias("rs"), F.col("cs").alias("cs2")
+            ),
+            on=key,
+        )
+        assert j2.count() == skewed.count(), hot
+        assert (
+            j2.filter(
+                (F.col("rp") != F.col("rs")) | (F.col("cp") != F.col("cs2"))
+            ).count()
+            == 0
+        ), hot
+
+
+def test_hot_hosts_over_detection_and_skip(spark, skewed):
+    """hot_hosts_over finds exactly the hosts at/over the threshold, and
+    the upper_bound short-circuit skips the count job (returns [])."""
+    from crawlspark.operators.skew import hot_hosts_over
+
+    assert hot_hosts_over(skewed, 1000) == ["host0"]
+    assert hot_hosts_over(skewed, 21) == ["host0"]
+    # threshold exactly at a cold host's count includes it
+    assert sorted(hot_hosts_over(skewed, 20)) == sorted(
+        ["host%d" % i for i in range(51)]
+    )
+    # known bound below threshold → no host can be hot, no job runs
+    assert hot_hosts_over(skewed, 1000, upper_bound=999) == []
+    assert hot_hosts_over(skewed, 0) == []
+
+
 def test_engine_parity_salted_vs_plain(spark):
     """Same crawl (visit order, schedule, counters) with salting on/off."""
     from crawlspark.config import Options
@@ -137,8 +200,13 @@ def test_engine_parity_salted_vs_plain(spark):
 
     def run(salt: bool):
         pages = PagesSource(pages_df, versioned=False)
+        # salt_threshold_rows=1 → every host goes through the salted
+        # machinery even at fixture scale (the production threshold
+        # would correctly leave this tiny crawl entirely on the plain
+        # window, which is the same code path as salt=False)
         opts = Options(
-            crawl_delay_ms=100, same_host_only=False, salt_hot_hosts=salt
+            crawl_delay_ms=100, same_host_only=False, salt_hot_hosts=salt,
+            salt_threshold_rows=1,
         )
         res = CrawlEngine(spark, pages, opts).run(
             ["http://hosta/page1.html", "http://hostb/page1.html"]
