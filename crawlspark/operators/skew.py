@@ -25,9 +25,19 @@ partition, via the classic two-phase distributed ranking:
 Politeness semantics are untouched: the schedule is still a per-host
 cumulative sum over the un-salted host (SURVEY §2.5) — only the
 *shuffle* is salted.  Results are bit-identical to the plain
-``Window.partitionBy('host')`` formulation (tests/test_skew.py), which
-stays the default for small parity crawls where two extra tiny shuffles
-cost more than they save.
+``Window.partitionBy('host')`` formulation (tests/test_skew.py).
+
+The machinery is applied PER HOST, not per wave: :func:`host_seq` and
+:func:`host_seq_cumsum` route only hosts whose wave row count reaches
+the salt threshold (detected by :func:`hot_hosts_over`, a driver-side
+scheduling statistic in the spirit of AQE's skew stats) through the
+range-bucketed path; every other host takes the plain window.  The
+salted path's sampling pass + eager materialization are real costs —
+profiling attributed most of a wave's non-scaling wall to them when
+they ran wave-wide — and a sub-threshold host's window group is
+something one task sorts in milliseconds, so paying them for all hosts
+bought nothing.  A wave whose TOTAL row count is already bounded below
+the threshold by commit metadata skips hot detection outright.
 
 CORRECTNESS NOTE — the bucket assignment is MATERIALIZED (eager
 localCheckpoint) before use: ``repartitionByRange`` *samples* the data
