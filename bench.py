@@ -16,11 +16,18 @@ Phases:
    seen / host_state / lineage parquet commits (the Iceberg analog) and
    is resumable mid-frontier from exactly what the benchmark writes.
 
-The scaling pair is local[2] → local[8]: measurements across this
-machine show a single-JVM local-mode contention wall above ~8 task
-threads (throughput REGRESSES at local[16]/local[32] even for pure
-shuffle microbenchmarks), which no multi-executor deployment shares —
-production executors are 4–8 cores each and scale across JVMs.
+The scaling pair is local[1] → local[4] (the north rule's N → 4N, with
+N = 1): on a real cluster N and 4N are whole executors on separate
+nodes — each with its own memory controller — while on this single box
+every task thread shares ONE controller.  scripts/bandwidth_probe.py
+measures that envelope directly: a pure-CPU loop scales ~0.97/core
+while 240MB-per-process streaming saturates at ~0.72-0.75 of ideal by
+8 processes; the measured envelope at each level ships in the output
+(``host_envelope``) so the crawl's efficiency reads against what the
+box can deliver.  The 1→4 pair is the faithful cluster emulation this
+host allows; a secondary 4→8 point (2N) plus the local[8] peak arm
+(the throughput headline — above ~8 task threads one JVM REGRESSES
+even on pure shuffle microbenchmarks) complete the curve.
 BASELINE.md records the full curve and the work/latency decomposition.
 
 Measurement protocol (BASELINE.md "Sandbox evidence protocol"):
@@ -44,16 +51,20 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
-BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20000"))
-# 400k seeds: the official scaling pair must measure the regime the
+# 4M pages / 400k seeds: the scaling pair must measure the regime the
 # design targets — waves big enough that parallel work dominates the
-# per-wave driver latency (at 200k seeds the 8-core level spent ~70% of
-# its wall in fixed latency, understating scaling for every level)
+# per-wave latency (the 2M graph was EXHAUSTED by wave 3 at 400k seeds,
+# so growing the frontier no longer grew the parallel work)
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20000"))
 BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "400000"))
 BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
-LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
-HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", str(min(8, CPUS))))
+LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "1"))
+HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "4"))
+# peak level: the throughput headline + the A/B and deep arms run here
+# (one local JVM regresses above ~8 task threads; scaling evidence
+# lives in the pinned LOW→HIGH pair, throughput in the peak arm)
+PEAK_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_PEAK", str(min(8, CPUS))))
 # min-of-N runs per level: the sandbox host shows heavy run-to-run noise
 # (same config measured 37s..152s across a day); min is the standard
 # noise-robust estimator, and runs 2+ in the same JVM are JIT/UDF-warm
@@ -508,6 +519,35 @@ def _queries_phase() -> dict[str, float]:
     return queries
 
 
+def _host_envelope(levels: list[int]) -> dict | None:
+    """Run scripts/bandwidth_probe.py at the given parallelism levels
+    and return its two JSON rows (pure-CPU and memory-streaming parallel
+    efficiency) — the host ceiling every local[N] scaling number must be
+    read against.  Best effort: None on any failure."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts",
+        "bandwidth_probe.py",
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, *[str(n) for n in levels]],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        rows = [
+            json.loads(line)
+            for line in proc.stdout.splitlines()
+            if line.startswith("{")
+        ]
+        return {r["workload"]: r for r in rows} or None
+    except Exception:
+        return None
+
+
 def _queries_phase_subprocess() -> dict[str, float]:
     import subprocess
 
@@ -585,9 +625,9 @@ def main() -> None:
     # high level was exactly as slow as the low one.  Min per level is
     # the noise-robust estimator; the per-rep walls and the delivered-
     # parallelism calibrations are all reported as evidence.
-    # ONE rotation interleaving ALL crawl arms — scaling low/high plus
-    # the four A/B arms (plain cold = the scaling high rep itself,
-    # bloom cold, big-seen plain, big-seen bloom): any window of
+    # ONE rotation interleaving ALL crawl arms — scaling low/high, the
+    # peak-throughput arm, and the A/B arms (plain cold = the peak rep
+    # itself, bloom cold, big-seen plain, big-seen bloom): any window of
     # co-tenant contention hits every arm instead of silently biasing
     # whichever arm ran inside it.  REPS (≥3) rep pairs per arm; min per
     # arm is the noise-robust estimator; per-rep walls all reported.
@@ -609,8 +649,15 @@ def main() -> None:
     # 10^10 the ratio is 10^4), so a 200k wave vs 16M seen (80x) is the
     # honest shape — and it bounds the A/B's share of the bench wall
     ab_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_AB_SEEDS", "200000"))
+    # host scaling envelope (pure-CPU vs memory-streaming parallel
+    # efficiency at every measured level) — the ceiling any local[N]
+    # pair on this box must be read against
+    host_envelope = _host_envelope(
+        sorted({1, LOW_CORES, HIGH_CORES, PEAK_CORES})
+    )
     low_reps: list[dict] = []
     high_reps: list[dict] = []
+    peak_reps: list[dict] = []
     bloom_arm: list[dict] = []
     bs_plain_arm: list[dict] = []
     bs_bloom_arm: list[dict] = []
@@ -618,21 +665,24 @@ def main() -> None:
         low_reps.append(_crawl_rep_subprocess(LOW_CORES))
         high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
         try:
+            if i < 2:
+                # peak-throughput arm (headline URLs/s); min-of-2
+                peak_reps.append(_crawl_rep_subprocess(PEAK_CORES))
             if i == 0:
-                # cold-start bloom sanity row (overhead vs crawl_high is
+                # cold-start bloom sanity row (overhead vs crawl_peak is
                 # the comparison; the win criterion lives in the
                 # big-seen pair, so one rep suffices here)
                 bloom_arm.append(
-                    _crawl_rep_subprocess(HIGH_CORES, bloom=True)
+                    _crawl_rep_subprocess(PEAK_CORES, bloom=True)
                 )
             bs_plain_arm.append(
                 _crawl_rep_subprocess(
-                    HIGH_CORES, bigseen=bigseen_n, seeds=ab_seeds
+                    PEAK_CORES, bigseen=bigseen_n, seeds=ab_seeds
                 )
             )
             bs_bloom_arm.append(
                 _crawl_rep_subprocess(
-                    HIGH_CORES,
+                    PEAK_CORES,
                     bloom=True,
                     bigseen=bigseen_n,
                     seeds=ab_seeds,
@@ -642,6 +692,9 @@ def main() -> None:
             pass
     crawl_low = min(low_reps, key=lambda r: r["seconds"])
     crawl_high = min(high_reps, key=lambda r: r["seconds"])
+    crawl_peak = min(
+        peak_reps, key=lambda r: r["seconds"], default=crawl_high
+    )
     crawl_bloom = min(bloom_arm, key=lambda r: r["seconds"], default=None)
     crawl_bigseen = min(
         bs_plain_arm, key=lambda r: r["seconds"], default=None
@@ -653,13 +706,13 @@ def main() -> None:
     # salting on; evidence = flat per-wave wall (waves 6+ vs waves 2-5)
     try:
         crawl_deep = _crawl_rep_subprocess(
-            HIGH_CORES, deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10"))
+            PEAK_CORES, deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10"))
         )
     except RuntimeError:
         crawl_deep = None
 
     queries = _queries_phase_subprocess()
-    queries["crawl_wave_loop"] = round(crawl_high["seconds"], 3)
+    queries["crawl_wave_loop"] = round(crawl_peak["seconds"], 3)
 
     ratio = HIGH_CORES / LOW_CORES
     eff = (
@@ -690,7 +743,7 @@ def main() -> None:
     lat = max(0.0, t_h - w / HIGH_CORES)
     out = {
         "metric": "crawl_urls_per_sec",
-        "value": round(crawl_high["urls_per_sec"], 1),
+        "value": round(crawl_peak["urls_per_sec"], 1),
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -698,10 +751,16 @@ def main() -> None:
             "pages": BENCH_PAGES,
             "hosts": BENCH_HOSTS,
             "seeds": BENCH_SEEDS,
-            "waves": crawl_high["waves"],
-            "fetches": crawl_high["fetches"],
-            "visits": crawl_high["visits"],
+            "waves": crawl_peak["waves"],
+            "fetches": crawl_peak["fetches"],
+            "visits": crawl_peak["visits"],
         },
+        "crawl_peak": dict(
+            _brief(crawl_peak) or {},
+            cores=PEAK_CORES,
+            reps_sec=[round(r["seconds"], 2) for r in peak_reps],
+        ),
+        "host_envelope": host_envelope,
         "crawl_bloom": dict(
             _brief(crawl_bloom) or {},
             reps_sec=[round(r["seconds"], 2) for r in bloom_arm],
@@ -743,6 +802,24 @@ def main() -> None:
                 r.get("delivered_parallelism") for r in high_reps
             ],
         },
+        # secondary scaling point (2N): HIGH → PEAK from the same runs,
+        # no extra reps — completes the curve past the pinned pair
+        "scaling_secondary": {
+            "cores": [HIGH_CORES, PEAK_CORES],
+            "t_sec": [
+                round(crawl_high["seconds"], 2),
+                round(crawl_peak["seconds"], 2),
+            ],
+            "efficiency": round(
+                (crawl_peak["urls_per_sec"] / crawl_high["urls_per_sec"])
+                / (PEAK_CORES / HIGH_CORES),
+                3,
+            )
+            if crawl_high["urls_per_sec"] > 0
+            else 0.0,
+        }
+        if peak_reps
+        else None,
     }
     print(json.dumps(out))
 

@@ -698,9 +698,10 @@ class CrawlEngine:
                 # preserved exactly (range buckets are monotone in the
                 # ordering tuple).  Hot detection runs ONCE per wave and
                 # feeds both this sequencing and the politeness schedule
-                # below; threshold/2 covers the schedule's worst-case
-                # HEAD+GET row doubling.  When commit metadata already
-                # bounds the wave below the threshold (the common case),
+                # below (the schedule's HEAD+GET explode doubles rows
+                # AND fair shares alike, so the same list stays right).
+                # When commit metadata already bounds the wave below
+                # the threshold (the common case for modest waves),
                 # no count job runs and every host takes the plain
                 # window — the salted machinery's sampling +
                 # materialization pass is reserved for hosts that
@@ -712,6 +713,23 @@ class CrawlEngine:
                     if cand_rows is not None and deferred_rows is not None
                     else None
                 )
+                # A host is "hot" RELATIVE to the wave: one task's fair
+                # share is upper/parallelism rows, and a window group
+                # beyond that share dominates the stage tail (measured:
+                # a 20%-of-wave host under the absolute 1M threshold ran
+                # the 8-core sequencing stages at ~55% utilization,
+                # while salting the same host at 4 cores — where it fits
+                # a fair share — only added sampling/materialization
+                # cost).  Clamp: never below 50k rows (a sort one task
+                # does in milliseconds), never above the configured
+                # absolute threshold (the OOM guard the option names).
+                par = self.spark.sparkContext.defaultParallelism
+                thresh = opts.salt_threshold_rows
+                if upper is not None:
+                    thresh = min(
+                        opts.salt_threshold_rows,
+                        max(50_000, upper // par),
+                    )
                 # count on the CACHE-BACKED admitted rows plus the
                 # checkpoint-backed deferred table, NOT on page_rows:
                 # page_rows' host_state join is uncached, so counting it
@@ -723,7 +741,7 @@ class CrawlEngine:
                     admitted.select("host").unionByName(
                         deferred.select("host")
                     ),
-                    max(1, opts.salt_threshold_rows // 2),
+                    max(1, thresh),
                     upper_bound=upper,
                 )
                 # url_norm as final tie-break: ord_seq is xxhash64 for

@@ -64,16 +64,20 @@ def main() -> None:
     for name, fn in (("cpu", _cpuonly), ("stream", _stream)):
         totals: dict[int, int] = {}
         for nproc in levels:
-            q = ctx.Queue()
-            ps = [
-                ctx.Process(target=fn, args=(c, 3.0, q))
-                for c in range(nproc)
-            ]
-            for p in ps:
-                p.start()
-            for p in ps:
-                p.join()
-            totals[nproc] = sum(q.get() for _ in ps)
+            best = 0
+            for _ in range(2):  # best-of-2: a descheduled round would
+                # otherwise understate the level (co-tenant noise)
+                q = ctx.Queue()
+                ps = [
+                    ctx.Process(target=fn, args=(c, 3.0, q))
+                    for c in range(nproc)
+                ]
+                for p in ps:
+                    p.start()
+                for p in ps:
+                    p.join()
+                best = max(best, sum(q.get() for _ in ps))
+            totals[nproc] = best
         base = totals[levels[0]] / levels[0]
         out = {
             "workload": name,
