@@ -313,6 +313,15 @@ def _crawl_once(spark, pages_path: str) -> dict:
         use_bloom_seen=BENCH_BLOOM or bool(BENCH_DEEP),
         bloom_partitions=max(8, BENCH_BIGSEEN // 500_000),
         bloom_expected_per_partition=500_000,
+        # crossover gate: below ~8M seen rows the exact join beats any
+        # sidecar on this host (measured crossover, BASELINE.md), so
+        # bloom-mode cold starts run dormant — the arm evidences that
+        # leaving bloom ON costs ~nothing until the regime needs it.
+        # The deep arm sets the gate low instead so the run crosses it
+        # mid-crawl and exercises the dormant→engaged transition plus
+        # subsequent lazy folds at depth.  The big-seen A/B prebuilds
+        # shards (initial_bloom), which engages regardless of the gate.
+        bloom_min_seen_rows=(1_000_000 if BENCH_DEEP else 8_000_000),
         # deep-frontier mode: every long-crawl option ON together (the
         # compose-parity pytest pins counters identical) — this arm
         # evidences flat per-wave wall at depth, not peak throughput

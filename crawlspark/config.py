@@ -184,6 +184,16 @@ class Options:
     # 0 = auto (shard capacity / 8).  Keeps the common wave at ZERO
     # bloom-maintenance jobs.
     bloom_fold_min_rows: int = 0
+    # crossover gate: with seen below this many rows the sidecar stays
+    # DORMANT (no build, no probe, zero jobs — the exact join alone is
+    # cheaper than any pre-filter there) and engages with ONE build
+    # pass over the full seen set when it crosses.  0 = engage at run
+    # start (small-fixture tests exercise the bloom path directly).
+    # The threshold only acts when the engine can know the seen row
+    # count from commit metadata (durable store); otherwise the bloom
+    # engages immediately — dormancy must never risk a stale filter.
+    # Caller-prebuilt initial_bloom / resumed shards always engage.
+    bloom_min_seen_rows: int = 0
     # probe strategy: "join" broadcasts the shard words and bit-tests
     # in pure JVM expressions (no Python, no candidate shuffle — the
     # fast path while the filter fits a broadcast); "cogroup" keeps

@@ -399,6 +399,17 @@ class CrawlEngine:
             # to fire before the crash.
             initial_seen = self._store.commit(initial_seen, "seen_inc", -1)
         self._has_initial_seen = initial_seen is not None
+        # driver-known seen row count (commit metadata only — never a
+        # count() job); None = unknown, which disables bloom dormancy
+        seen_rows_total: int | None = 0
+        if resume_state:
+            seen_rows_total = None
+        elif initial_seen is not None:
+            seen_rows_total = (
+                self._store.rows("seen_inc", -1)
+                if self._store is not None
+                else None
+            )
         seen_parts: list[DataFrame] = [
             self._empty(SEEN_DDL) if initial_seen is None else initial_seen
         ]
@@ -481,6 +492,20 @@ class CrawlEngine:
                 # fpp) — a missing URL would be a false-negative hole
                 # the exact join never repairs.
                 bloom_df = self._ckpt(initial_bloom, "bloom", -1)
+            elif (
+                opts.bloom_min_seen_rows > 0
+                and seen_rows_total is not None
+                and seen_rows_total < opts.bloom_min_seen_rows
+            ):
+                # DORMANT below the crossover: at this seen size the
+                # exact join is cheaper than any sidecar, so the bloom
+                # runs zero jobs (no build, no probe, no folds) until
+                # the seen set crosses bloom_min_seen_rows — then one
+                # build pass over the full seen engages it (wave loop).
+                # Crossover measured at ~8-10M seen rows on the bench
+                # host (BASELINE.md); at a 10^10-URL frontier the
+                # engaged regime is reached within the first waves.
+                pass
             else:
                 bloom_df = self._ckpt(
                     build_bloom(
@@ -492,7 +517,7 @@ class CrawlEngine:
                     "bloom",
                     -1,
                 )
-            if opts.bloom_probe == "join":
+            if bloom_df is not None and opts.bloom_probe == "join":
                 # probe-ready word rows, converted ONCE per (re)build
                 # and persisted: the per-wave probe then only pays a
                 # few-MB broadcast of cached rows, not an applyInPandas
@@ -1226,6 +1251,43 @@ class CrawlEngine:
                     bloom_pending_rows = 0
                     if bloom_words_df is not None:
                         bloom_words_df.unpersist()
+                    if opts.bloom_probe == "join":
+                        bloom_words_df = bloom_words(bloom_df).persist()
+            elif opts.use_bloom_seen:
+                # dormant below the crossover (bloom_min_seen_rows):
+                # track the seen size from commit metadata and engage
+                # with ONE build pass over the full seen union when it
+                # crosses.  An unknown count ends dormancy immediately —
+                # the gate is an optimization, never a correctness knob.
+                inc_n = (
+                    self._store.rows("seen_inc", wave)
+                    if self._store is not None
+                    else None
+                )
+                if seen_rows_total is not None and inc_n is not None:
+                    seen_rows_total += inc_n
+                else:
+                    seen_rows_total = None
+                if (
+                    seen_rows_total is None
+                    or seen_rows_total >= opts.bloom_min_seen_rows
+                ):
+                    from crawlspark.operators.seen import (
+                        bloom_words,
+                        build_bloom,
+                    )
+
+                    bloom_df = self._ckpt(
+                        build_bloom(
+                            reduce(DataFrame.unionByName, seen_parts),
+                            num_partitions=opts.bloom_partitions,
+                            expected_per_partition=opts.bloom_expected_per_partition,
+                            fpp=opts.bloom_fpp,
+                        ),
+                        "bloom",
+                        wave,
+                    )
+                    bloom_fold_wave = wave
                     if opts.bloom_probe == "join":
                         bloom_words_df = bloom_words(bloom_df).persist()
             _t = _tick("state_ckpts", _t)

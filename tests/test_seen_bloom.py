@@ -273,3 +273,70 @@ def test_resume_reads_committed_shards(spark, fixture_pages, tmp_path):
     s1 = {r[0] for r in full.seen.select("url_norm").collect()}
     s2 = {r[0] for r in resumed.seen.select("url_norm").collect()}
     assert s1 == s2
+
+
+def test_bloom_dormant_below_crossover(spark, fixture_pages, tmp_path):
+    """With seen below bloom_min_seen_rows the sidecar runs ZERO jobs —
+    no shard state is ever committed — and every counter plus the seen
+    set is identical to the engaged run (the gate is an optimization,
+    never a correctness knob)."""
+    import glob
+    import os
+
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    bopts = dict(
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        bloom_expected_per_partition=1000, bloom_fpp=0.01,
+    )
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    engaged = CrawlEngine(spark, fixture_pages, Options(**bopts)).run(seeds)
+    ck = str(tmp_path / "ck_dormant")
+    dormant = CrawlEngine(
+        spark, fixture_pages,
+        Options(
+            checkpoint_dir=ck, bloom_min_seen_rows=10**9, **bopts
+        ),
+    ).run(seeds)
+    assert dormant.counters.visit == engaged.counters.visit == 5
+    assert dormant.counters.filter == engaged.counters.filter == 13
+    s1 = {r[0] for r in engaged.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in dormant.seen.select("url_norm").collect()}
+    assert s1 == s2
+    assert glob.glob(os.path.join(ck, "*", "bloom")) == []
+
+
+def test_bloom_engages_at_crossover(spark, fixture_pages, tmp_path):
+    """A run that CROSSES bloom_min_seen_rows mid-crawl engages the
+    sidecar with one build pass — shard state committed from that wave
+    on, counters identical to both the plain and always-on runs."""
+    import glob
+    import os
+
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    plain = CrawlEngine(
+        spark, fixture_pages, Options(crawl_delay_ms=100)
+    ).run(seeds)
+    ck = str(tmp_path / "ck_engage")
+    # fixture crawl sees 2 URLs after wave 0 and 7+ after wave 1 →
+    # threshold 3 keeps wave 0 dormant and engages at wave 1
+    crossed = CrawlEngine(
+        spark, fixture_pages,
+        Options(
+            crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+            bloom_expected_per_partition=1000, bloom_fpp=0.01,
+            checkpoint_dir=ck, bloom_min_seen_rows=3,
+        ),
+    ).run(seeds)
+    assert crossed.counters.visit == plain.counters.visit == 5
+    assert crossed.counters.filter == plain.counters.filter == 13
+    s1 = {r[0] for r in plain.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in crossed.seen.select("url_norm").collect()}
+    assert s1 == s2
+    committed = sorted(glob.glob(os.path.join(ck, "*", "bloom")))
+    assert committed, "crossing the threshold must commit shard state"
+    assert os.path.join(ck, "seed", "bloom") not in committed
