@@ -51,13 +51,17 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 4M pages / 400k seeds: the scaling pair must measure the regime the
+# 8M pages / 700k seeds: the scaling pair must measure the regime the
 # design targets — waves big enough that parallel work dominates the
 # per-wave latency (the 2M graph was EXHAUSTED by wave 3 at 400k seeds,
-# so growing the frontier no longer grew the parallel work)
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
-BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20000"))
-BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "400000"))
+# so growing the frontier no longer grew the parallel work; at 4M/400k
+# the fitted decomposition was W≈350 CPU·s vs L≈65 s fixed, capping
+# 1→4 efficiency at 0.68 — the 8M/700k waves put ~1.6× more parallel
+# work against the SAME per-wave latency, which is exactly the 10^10
+# regime: wave size grows with the frontier, per-wave latency does not)
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "40000"))
+BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "700000"))
 BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
 LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "1"))
 HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "4"))
