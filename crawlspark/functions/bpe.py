@@ -74,20 +74,28 @@ def _word_tokens(word: str, merges: tuple[tuple[str, str], ...]) -> int:
     return s.count(DELIM) // 2
 
 
-# Module-level cache keyed on (word, merges) so Zipf-repeated words
-# amortize across EVERY document an executor worker processes — not
-# just within one document (a per-call cache would be rebuilt per doc).
-@lru_cache(maxsize=65536)
-def _word_tokens_cached(word: str, merges: tuple[tuple[str, str], ...]) -> int:
-    return _word_tokens(word, merges)
+# Two-level cache: the OUTER level maps a merges tuple to a per-word
+# cached counter (hashing the merge table once per distinct table, not
+# once per word lookup — a production-scale table is 10^4+ pairs, and
+# tuples don't memoize their hash, so keying one flat cache on
+# (word, merges) would pay an O(|merges|) hash/compare on every hit).
+# The INNER per-word cache is what amortizes Zipf-repeated words across
+# EVERY document an executor worker processes.
+@lru_cache(maxsize=8)
+def _word_counter_for(merges: tuple[tuple[str, str], ...]):
+    @lru_cache(maxsize=65536)
+    def count(word: str) -> int:
+        return _word_tokens(word, merges)
+
+    return count
 
 
 def bpe_token_count(text: str, merges: list[tuple[str, str]]) -> int:
     """BPE token count of a document: sum over whitespace-split
     lowercased words (DELIM chars stripped from input first)."""
-    mt = tuple(merges)
+    count = _word_counter_for(tuple(merges))
     return sum(
-        _word_tokens_cached(w, mt)
+        count(w)
         for w in text.lower().replace(DELIM, "").split(" ")
         if w
     )

@@ -147,13 +147,19 @@ def admit_candidates(
         # a broadcast join of the matched keys back onto the
         # candidates.  The plain path's left-outer join must exchange
         # the whole seen table every wave — at a 10^10-row frontier
-        # that exchange IS the crawl's dominant cost.  No distinct on
-        # maybe_keys: the semi-join's broadcast hash build dedups keys
-        # anyway, and a distinct here is a whole extra shuffle on the
-        # wave's serial path.
-        maybe_keys = df.filter(
-            F.col("maybe_seen") & ~F.col("_pend")
-        ).select("url_norm")
+        # that exchange IS the crawl's dominant cost.  The distinct
+        # matters for the BROADCAST, not the join: F.broadcast collects
+        # rows to the driver BEFORE the hash build dedups them, so a
+        # seen URL re-linked from 10^6 pages in one wave would ship
+        # 10^6 duplicate keys driver-side.  distinct's partial
+        # aggregation collapses duplicates map-side, so its exchange
+        # carries ~unique keys only and the broadcast stays bounded by
+        # true dups + fpp regardless of link multiplicity.
+        maybe_keys = (
+            df.filter(F.col("maybe_seen") & ~F.col("_pend"))
+            .select("url_norm")
+            .distinct()
+        )
         matched = seen_side.join(
             F.broadcast(maybe_keys),
             F.col("_seen_url") == F.col("url_norm"),

@@ -39,15 +39,22 @@ def bloom_params(expected_n: int, fpp: float) -> tuple[int, int]:
 
 
 def _with_hashes(df: DataFrame, url_col: str, num_partitions: int) -> DataFrame:
-    h1 = F.xxhash64(F.col(url_col))
-    h2 = F.xxhash64(F.col(url_col), F.lit(0x9E3779B9))
+    # xxhash64(NULL) is NOT null — Spark hashes a null input to the
+    # seed value — so a null url_norm (unparsable URL) would probe the
+    # filter with constant hashes and could return maybe_seen=true at
+    # realistic fill levels.  Propagate null explicitly: every probe
+    # path treats a null hash as "definitely not seen" (deterministic,
+    # not fill-dependent), and build_bloom drops such rows.
+    notnull = F.col(url_col).isNotNull()
+    h1 = F.when(notnull, F.xxhash64(F.col(url_col)))
+    h2 = F.when(notnull, F.xxhash64(F.col(url_col), F.lit(0x9E3779B9)))
     # pid from a THIRD independent hash: pid = h1 mod P would fix
     # h1's residue class within a shard, and since the byte-aligned m
     # shares a factor with P the first double-hash probe (i=0 → pure
     # h1 mod m) would then only ever touch 1/gcd(P,m) of the bitmap —
     # insertions and probes alike — quietly inflating that probe's
     # saturation.  An independent pid keeps all k probes uniform.
-    h3 = F.xxhash64(F.col(url_col), F.lit(0x51ED270B))
+    h3 = F.when(notnull, F.xxhash64(F.col(url_col), F.lit(0x51ED270B)))
     return (
         df.withColumn("_h1", h1)
         .withColumn("_h2", h2)
@@ -65,7 +72,13 @@ def build_bloom(
     """Build (pid, bitmap) shards from a seen table (or an increment)."""
     m, k = bloom_params(expected_per_partition, fpp)
 
-    hashed = _with_hashes(seen, url_col, num_partitions).select("_pid", "_h1", "_h2")
+    # drop null-hash rows (null url_norm): they carry no key to insert,
+    # and a null _pid group would hand NaN hashes to the numpy kernel
+    hashed = (
+        _with_hashes(seen, url_col, num_partitions)
+        .select("_pid", "_h1", "_h2")
+        .filter(F.col("_h1").isNotNull())
+    )
 
     def make(key, pdf):
         import pandas as pd
@@ -250,7 +263,7 @@ def apply_bloom_join(
         )
         conds.append(f"((shiftrightunsigned({word}, {shift}) & 1) = 1)")
     maybe = F.expr(
-        "CASE WHEN words IS NULL THEN false ELSE ("
+        "CASE WHEN words IS NULL OR _h1 IS NULL THEN false ELSE ("
         + " AND ".join(conds)
         + ") END"
     )

@@ -342,12 +342,19 @@ class CrawlEngine:
                 .distinct()
             )
 
-        if opts.parallel_checkpoints:
+        if opts.parallel_checkpoints and not isinstance(seeds, DataFrame):
             # the two seed-stage commits are independent jobs — overlap
-            # them (seed_hosts derives from the UNCOMMITTED candidates
-            # plan, which is deterministic, so both writes can run
-            # concurrently); serial they were ~1/4 of the fixed latency
-            # of a short crawl
+            # them.  Safe ONLY for list/str seeds: their candidates plan
+            # is built from driver-local data, so both concurrent jobs
+            # evaluate identical rows.  A user-supplied seeds DataFrame
+            # may be non-deterministic (sample(), limit() over an
+            # unordered source, a changing snapshot) — evaluating it
+            # twice could commit a seed_hosts table missing a host that
+            # seed_candidates contains, silently dropping that host's
+            # subtree under same_host_only; those take the serial path
+            # below, which derives seed_hosts from the COMMITTED
+            # candidates.  Serial cost: ~1/4 of a short crawl's fixed
+            # latency, once per run.
             from concurrent.futures import ThreadPoolExecutor
 
             _seed_hosts_plan = _seed_hosts_df(candidates)
@@ -749,12 +756,23 @@ class CrawlEngine:
                 # does in milliseconds), never above the configured
                 # absolute threshold (the OOM guard the option names).
                 par = self.spark.sparkContext.defaultParallelism
-                thresh = opts.salt_threshold_rows
+                # the politeness schedule downstream windows over
+                # HEAD+GET-EXPLODED rows (up to 2x the counts measured
+                # here), so when any HEAD phase is possible the absolute
+                # OOM guard applies at half its configured value —
+                # otherwise a host just under the guard would window ~2x
+                # the guard in one task.  The relative clamp needs no
+                # adjustment: the explode doubles rows and fair shares
+                # alike.
+                head_possible = (
+                    opts.head_before_get or ext.head_factory is not None
+                )
+                abs_thresh = opts.salt_threshold_rows // (
+                    2 if head_possible else 1
+                )
+                thresh = abs_thresh
                 if upper is not None:
-                    thresh = min(
-                        opts.salt_threshold_rows,
-                        max(50_000, upper // par),
-                    )
+                    thresh = min(abs_thresh, max(50_000, upper // par))
                 # count on the CACHE-BACKED admitted rows plus the
                 # checkpoint-backed deferred table, NOT on page_rows:
                 # page_rows' host_state join is uncached, so counting it

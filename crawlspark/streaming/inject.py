@@ -85,7 +85,13 @@ class InjectionQueue:
         """Atomically take pending injections (oldest batches first) as
         seed rows, up to ``max_rows_per_drain``; overflow batches stay
         pending for the next wave's drain."""
-        batches = sorted(os.listdir(self.pending_dir))
+        # numeric sort: lexicographic order puts batch=10 before
+        # batch=2, which with the cap would drain newer batches while
+        # older ones stay queued (FIFO-by-batch-id is the contract)
+        batches = sorted(
+            os.listdir(self.pending_dir),
+            key=lambda b: int(b.split("=", 1)[1]) if "=" in b else -1,
+        )
         rows: list[tuple[str, str | None]] = []
         for b in batches:
             if rows and len(rows) >= self.max_rows_per_drain:

@@ -60,6 +60,13 @@ def _cpuonly(cpu: int, dur: float, q) -> None:
 
 def main() -> None:
     levels = [int(a) for a in sys.argv[1:]] or [1, 2, 8]
+    # the scaling_vs_1proc key promises a 1-process baseline — always
+    # measure it, even when the caller only asks for higher levels
+    # (normalizing against levels[0] would silently rebase the
+    # "per-core efficiency" to whatever contention that level already
+    # suffers, overstating the envelope)
+    if 1 not in levels:
+        levels = [1] + levels
     ctx = mp.get_context("fork")
     for name, fn in (("cpu", _cpuonly), ("stream", _stream)):
         totals: dict[int, int] = {}
@@ -78,7 +85,7 @@ def main() -> None:
                     p.join()
                 best = max(best, sum(q.get() for _ in ps))
             totals[nproc] = best
-        base = totals[levels[0]] / levels[0]
+        base = totals[1]
         out = {
             "workload": name,
             "throughput": totals,

@@ -241,13 +241,20 @@ def test_initial_bloom_prebuilt_matches_build(spark, fixture_pages):
     assert "http://hosta/page2.html" not in visited
 
 
-def test_resume_reads_committed_shards(spark, fixture_pages, tmp_path):
+def test_resume_reads_committed_shards(
+    spark, fixture_pages, tmp_path, monkeypatch
+):
     """Bloom-on resume must consume the COMMITTED fold (manifest
     bloom_fold_wave → shards + post-fold increments as the pending
-    set) rather than rebuilding from the seen union — verified by
-    corrupting the only state a rebuild would read."""
+    set) rather than rebuilding from the seen union — pinned
+    behaviorally: the store's ``bloom`` table must be READ, and
+    ``build_bloom`` must never run during the resume (a regression
+    that rebuilds from seen would call it; only a post-resume fold
+    may, and this fixture's waves stay under the fold threshold)."""
+    import crawlspark.operators.seen as seen_mod
     from crawlspark.config import Options
     from crawlspark.plans.engine import CrawlEngine
+    from crawlspark.sources.statestore import ParquetStateStore
 
     bopts = dict(
         crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
@@ -265,9 +272,27 @@ def test_resume_reads_committed_shards(spark, fixture_pages, tmp_path):
     with open(os.path.join(ck, "MANIFEST.json")) as fh:
         manifest = json.load(fh)
     assert manifest.get("bloom_fold_wave") is not None
+
+    build_calls: list = []
+    real_build = seen_mod.build_bloom
+    monkeypatch.setattr(
+        seen_mod,
+        "build_bloom",
+        lambda *a, **kw: build_calls.append(1) or real_build(*a, **kw),
+    )
+    reads: list = []
+    real_read = ParquetStateStore.read
+    monkeypatch.setattr(
+        ParquetStateStore,
+        "read",
+        lambda self, name, wave: reads.append(name)
+        or real_read(self, name, wave),
+    )
     resumed = CrawlEngine(
         spark, fixture_pages, Options(checkpoint_dir=ck, **bopts)
     ).resume(seeds)
+    assert "bloom" in reads, "resume never read the committed shards"
+    assert not build_calls, "resume rebuilt the bloom instead of reading it"
     assert resumed.counters.visit == full.counters.visit
     assert resumed.counters.filter == full.counters.filter
     s1 = {r[0] for r in full.seen.select("url_norm").collect()}
