@@ -1,7 +1,7 @@
 """Host scaling-envelope probe: pure-CPU vs memory-streaming parallel
 efficiency on this machine.
 
-The official scaling pair (local[2] → local[8], pinned CPU sets) can
+The official scaling pair (local[1] → local[4], pinned CPU sets) can
 only show the efficiency the HOST delivers.  Two 3-second
 microbenchmarks measure that envelope directly:
 
