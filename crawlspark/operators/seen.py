@@ -42,21 +42,32 @@ def _with_hashes(df: DataFrame, url_col: str, num_partitions: int) -> DataFrame:
     # xxhash64(NULL) is NOT null — Spark hashes a null input to the
     # seed value — so a null url_norm (unparsable URL) would probe the
     # filter with constant hashes and could return maybe_seen=true at
-    # realistic fill levels.  Propagate null explicitly: every probe
-    # path treats a null hash as "definitely not seen" (deterministic,
-    # not fill-dependent), and build_bloom drops such rows.
+    # realistic fill levels.  Carry validity as a SEPARATE boolean
+    # (_hvalid) and keep the hash columns themselves NON-NULL: a
+    # nullable int64 with any null in an Arrow batch converts to
+    # float64 pandas-side (NaN representation), and the VALID rows'
+    # 64-bit hashes would silently lose low bits in the float64
+    # round-trip — probe indices would then differ from the exactly-
+    # built bitmap, i.e. false negatives.  Every probe path treats
+    # _hvalid=false as "definitely not seen" (deterministic, not
+    # fill-dependent), and build_bloom drops such rows.
     notnull = F.col(url_col).isNotNull()
-    h1 = F.when(notnull, F.xxhash64(F.col(url_col)))
-    h2 = F.when(notnull, F.xxhash64(F.col(url_col), F.lit(0x9E3779B9)))
+    h1 = F.coalesce(F.xxhash64(F.col(url_col)), F.lit(0))
+    h2 = F.coalesce(
+        F.xxhash64(F.col(url_col), F.lit(0x9E3779B9)), F.lit(0)
+    )
     # pid from a THIRD independent hash: pid = h1 mod P would fix
     # h1's residue class within a shard, and since the byte-aligned m
     # shares a factor with P the first double-hash probe (i=0 → pure
     # h1 mod m) would then only ever touch 1/gcd(P,m) of the bitmap —
     # insertions and probes alike — quietly inflating that probe's
     # saturation.  An independent pid keeps all k probes uniform.
-    h3 = F.when(notnull, F.xxhash64(F.col(url_col), F.lit(0x51ED270B)))
+    h3 = F.coalesce(
+        F.xxhash64(F.col(url_col), F.lit(0x51ED270B)), F.lit(0)
+    )
     return (
-        df.withColumn("_h1", h1)
+        df.withColumn("_hvalid", notnull)
+        .withColumn("_h1", h1)
         .withColumn("_h2", h2)
         .withColumn("_pid", F.pmod(h3, F.lit(num_partitions)).cast("int"))
     )
@@ -72,12 +83,12 @@ def build_bloom(
     """Build (pid, bitmap) shards from a seen table (or an increment)."""
     m, k = bloom_params(expected_per_partition, fpp)
 
-    # drop null-hash rows (null url_norm): they carry no key to insert,
-    # and a null _pid group would hand NaN hashes to the numpy kernel
+    # drop invalid-hash rows (null url_norm): they carry no key to
+    # insert into the filter
     hashed = (
         _with_hashes(seen, url_col, num_partitions)
+        .filter(F.col("_hvalid"))
         .select("_pid", "_h1", "_h2")
-        .filter(F.col("_h1").isNotNull())
     )
 
     def make(key, pdf):
@@ -145,15 +156,16 @@ def apply_bloom(
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            # null url_norm → null hashes (xxhash64(NULL) is NULL → NaN
-            # through Arrow); those rows are definitively "not seen"
-            # (matches the JVM join path's CASE WHEN words IS NULL), and
-            # must be excluded before the int64 conversion, which raises
-            # on NaN.
-            valid = pdf["_h1"].notna().to_numpy()
+            # null url_norm → _hvalid=false; those rows are definitively
+            # "not seen" (matches the JVM join path).  The hash columns
+            # are non-null int64 JVM-side, so they arrive as exact int64
+            # through Arrow even when the batch mixes in invalid rows —
+            # a nullable hash column would arrive float64 and corrupt
+            # the valid rows' low bits (false negatives).
+            valid = pdf["_hvalid"].to_numpy(dtype=bool)
             maybe = np.zeros(len(pdf), dtype=bool)
-            h1 = pdf["_h1"].to_numpy()[valid].astype(np.int64)
-            h2 = pdf["_h2"].to_numpy()[valid].astype(np.int64)
+            h1 = pdf["_h1"].to_numpy(dtype=np.int64)[valid]
+            h2 = pdf["_h2"].to_numpy(dtype=np.int64)[valid]
             pid = pdf["_pid"].to_numpy()[valid]
             sub = np.zeros(valid.sum(), dtype=bool)
             # group rows by shard, vectorized bit tests
@@ -263,7 +275,7 @@ def apply_bloom_join(
         )
         conds.append(f"((shiftrightunsigned({word}, {shift}) & 1) = 1)")
     maybe = F.expr(
-        "CASE WHEN words IS NULL OR _h1 IS NULL THEN false ELSE ("
+        "CASE WHEN words IS NULL OR NOT _hvalid THEN false ELSE ("
         + " AND ".join(conds)
         + ") END"
     )
@@ -332,12 +344,12 @@ def apply_bloom_df(
         for a in arrs:
             bits[: a.size] |= a
         mm = np.int64(bits.size * 8)
-        # null url_norm → NaN hashes through Arrow; exclude before the
-        # int64 conversion (raises on NaN) and report "not seen", the
-        # same answer the JVM join path gives for null keys.
-        valid = cand_pdf["_h1"].notna().to_numpy()
-        h1 = np.mod(cand_pdf["_h1"].to_numpy()[valid].astype(np.int64), mm)
-        h2 = np.mod(cand_pdf["_h2"].to_numpy()[valid].astype(np.int64), mm)
+        # null url_norm → _hvalid=false; report "not seen", the same
+        # answer the JVM join path gives for null keys.  Hash columns
+        # are non-null JVM-side so they stay exact int64 through Arrow.
+        valid = cand_pdf["_hvalid"].to_numpy(dtype=bool)
+        h1 = np.mod(cand_pdf["_h1"].to_numpy(dtype=np.int64)[valid], mm)
+        h2 = np.mod(cand_pdf["_h2"].to_numpy(dtype=np.int64)[valid], mm)
         acc = np.ones(int(valid.sum()), dtype=bool)
         for i in range(k):
             idx = np.mod(h1 + np.int64(i) * h2, mm)

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 INJECT_DDL = "url string, state string"
 
 
+def _batch_id(name: str) -> int | None:
+    """Batch id from a ``batch=<int>`` directory name, else None."""
+    if "=" not in name:
+        return None
+    tail = name.split("=", 1)[1]
+    try:
+        return int(tail)
+    except ValueError:
+        return None
+
+
 class InjectionQueue:
     """File-backed injection table bridging a stream to the wave loop.
 
@@ -87,10 +98,18 @@ class InjectionQueue:
         pending for the next wave's drain."""
         # numeric sort: lexicographic order puts batch=10 before
         # batch=2, which with the cap would drain newer batches while
-        # older ones stay queued (FIFO-by-batch-id is the contract)
+        # older ones stay queued (FIFO-by-batch-id is the contract).
+        # Entries that don't parse as batch=<int> (stray temp dirs,
+        # partial manual writes) are SKIPPED, not consumed: an
+        # unguarded int() would raise on e.g. 'batch=tmp' and
+        # permanently break every subsequent drain.
         batches = sorted(
-            os.listdir(self.pending_dir),
-            key=lambda b: int(b.split("=", 1)[1]) if "=" in b else -1,
+            (
+                b
+                for b in os.listdir(self.pending_dir)
+                if _batch_id(b) is not None
+            ),
+            key=_batch_id,
         )
         rows: list[tuple[str, str | None]] = []
         for b in batches:
