@@ -9,7 +9,7 @@ Phases:
 1. operator queries from __spark_entry__.queries() at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
 2. the crawl wave loop over a deterministic synthetic Common-Crawl-style
-   graph (2M pages, Zipf host skew, no external data) at TWO parallelism
+   graph (4M pages, Zipf host skew, no external data) at TWO parallelism
    levels — the sandbox evidence protocol for the north rule's N→4N
    scaling criterion (see BASELINE.md "Sandbox evidence protocol").
    The crawl runs in DURABLE-commit mode: every wave writes frontier /
@@ -39,6 +39,32 @@ pinning collides with co-tenants doing the same), with a delivered-
 parallelism calibration probe recorded per rep, one small untimed
 warmup crawl (JIT/codegen warm), then one timed run.  Min per level is
 the noise-robust estimator; per-rep walls + calibrations are reported.
+
+Round-4 harness hardening (the round-3 official run timed out with
+ZERO output — rc=124, empty tail):
+- GLOBAL WALL BUDGET ($SPARK_GRAFT_BENCH_BUDGET seconds, default 3300):
+  before each arm the harness checks remaining budget against a per-arm
+  estimate (priors, then 1.3x the measured wall of earlier same-kind
+  reps) and SKIPS optional arms that no longer fit.  The mandatory core
+  (queries, one low/high scaling pair, one peak rep, one big-seen A/B
+  pair) runs regardless, each under a hard per-arm subprocess timeout,
+  so a single wedged rep can never eat the whole run.
+- PER-ARM FLUSH: every completed/failed/skipped arm prints one
+  "ARM_JSON {...}" line immediately — a driver timeout now degrades to
+  fewer arms in the tail instead of zero evidence.
+- RIGHT-SIZED INPUT: 4M pages / 400k seeds (was 8M/700k, which could
+  not finish inside the driver wall).  BASELINE.md records the fitted
+  work/latency decomposition at this size (W≈350 CPU·s, L≈65 s →
+  predicted 1→4 efficiency ≈0.68); a measured 0.68 beats an unmeasured
+  0.8.
+- CACHED BIG-SEEN FIXTURES: the 16M-row synthetic seen table and its
+  prebuilt bloom shards persist under .bench_cache/ keyed by size, so
+  A/B reps stop paying a full rebuild each.
+- QUERY PHASE AT PEAK CORES: queries run at local[$SPARK_GRAFT_QUERY_CPUS]
+  (default = the peak arm's core count, 8) — BASELINE.md documents that
+  one local JVM REGRESSES above ~8 task threads, so timing queries at
+  local[32] measured the regression, not the engine.  The core count
+  ships in the artifact as "queries_cpus".
 """
 
 from __future__ import annotations
@@ -51,17 +77,25 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 8M pages / 700k seeds: the scaling pair must measure the regime the
+# Global wall budget for the WHOLE bench (seconds).  The round-3
+# official run grew past the driver's wall and died with zero output;
+# the budget guard makes completion unconditional: optional arms are
+# skipped once the remaining budget can't fit them, mandatory arms run
+# under per-arm subprocess timeouts.  Default 3300s (55 min) — the
+# round-2 official run (which completed) was ~40 min at a smaller
+# rotation, and the round-3 one (~2h) did not.
+BENCH_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3300"))
+# 4M pages / 400k seeds: the scaling pair must measure the regime the
 # design targets — waves big enough that parallel work dominates the
 # per-wave latency (the 2M graph was EXHAUSTED by wave 3 at 400k seeds,
-# so growing the frontier no longer grew the parallel work; at 4M/400k
-# the fitted decomposition was W≈350 CPU·s vs L≈65 s fixed, capping
-# 1→4 efficiency at 0.68 — the 8M/700k waves put ~1.6× more parallel
-# work against the SAME per-wave latency, which is exactly the 10^10
-# regime: wave size grows with the frontier, per-wave latency does not)
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
-BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "40000"))
-BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "700000"))
+# so growing the frontier no longer grew the parallel work; the fitted
+# decomposition at 4M/400k is W≈350 CPU·s vs L≈65 s fixed, predicting
+# 1→4 efficiency ≈0.68).  Round 3 grew this to 8M/700k chasing ≈0.75
+# and the official run timed out with zero output — 4M/400k is the
+# largest size whose full rotation fits the wall budget on this host.
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20000"))
+BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "400000"))
 BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
 LOW_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "1"))
 HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "4"))
@@ -69,6 +103,11 @@ HIGH_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "4"))
 # (one local JVM regresses above ~8 task threads; scaling evidence
 # lives in the pinned LOW→HIGH pair, throughput in the peak arm)
 PEAK_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_PEAK", str(min(8, CPUS))))
+# query-phase core count: one local JVM regresses above ~8 task threads
+# (BASELINE.md host envelope), so the queries run at the peak arm's
+# core count by default — local[32] timed the regression, not the
+# engine.  Recorded in the artifact as "queries_cpus".
+QUERY_CPUS = int(os.environ.get("SPARK_GRAFT_QUERY_CPUS", str(PEAK_CORES)))
 # min-of-N runs per level: the sandbox host shows heavy run-to-run noise
 # (same config measured 37s..152s across a day); min is the standard
 # noise-robust estimator, and runs 2+ in the same JVM are JIT/UDF-warm
@@ -277,6 +316,59 @@ def _seeds_df(spark):
     )
 
 
+def _bigseen_df(spark, n: int):
+    """Synthetic already-seen URLs on hosts DISJOINT from the crawl
+    graph: admission outcomes (and so every counter) stay identical to
+    the fresh-run bench, but every wave's visited probe must face a
+    seen table ~80x the wave size — exactly what the bloom pre-filter
+    prunes."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.format_string(
+                "http://big%d.seen/p%d.html", F.col("id") % 50_000,
+                F.col("id"),
+            ).alias("url_norm"),
+            F.format_string("big%d.seen", F.col("id") % 50_000).alias(
+                "host"
+            ),
+            F.lit(-1).alias("wave_added"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+
+
+def _ensure_bigseen(spark, n: int) -> str:
+    """Durable parquet cache of the big-seen fixture (and see
+    _ensure_bigseen_shards): the A/B arms were rebuilding the 16M-row
+    table + shards from scratch in EVERY rep — untimed but several
+    wall-minutes per rotation the budget can spend on measured arms."""
+    path = f"/root/repo/.bench_cache/seen_{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        _bigseen_df(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _ensure_bigseen_shards(
+    spark, seen_path: str, n: int, parts: int, expected: int, fpp: float
+) -> str:
+    from crawlspark.operators.seen import build_bloom
+
+    path = f"/root/repo/.bench_cache/seen_shards_{n}_{parts}_{expected}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        build_bloom(
+            spark.read.parquet(seen_path),
+            num_partitions=parts,
+            expected_per_partition=expected,
+            fpp=fpp,
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def _crawl_once(spark, pages_path: str) -> dict:
     import shutil
 
@@ -340,29 +432,16 @@ def _crawl_once(spark, pages_path: str) -> dict:
     )
     eng = CrawlEngine(spark, pages, opts)
     initial_seen = None
+    seen_path = None
     if BENCH_BIGSEEN > 0:
-        # synthetic already-seen URLs on hosts DISJOINT from the crawl
-        # graph: admission outcomes (and so every counter) stay
-        # identical to the fresh-run bench, but every wave's visited
-        # probe must face a seen table ~10x the wave size — exactly
-        # what the bloom pre-filter prunes
-        from pyspark.sql import functions as F
-
-        initial_seen = (
-            spark.range(BENCH_BIGSEEN)
-            .select(
-                F.format_string(
-                    "http://big%d.seen/p%d.html", F.col("id") % 50_000,
-                    F.col("id"),
-                ).alias("url_norm"),
-                F.format_string("big%d.seen", F.col("id") % 50_000).alias(
-                    "host"
-                ),
-                F.lit(-1).alias("wave_added"),
-            )
-            .repartition(spark.sparkContext.defaultParallelism * 2)
-            .persist()
-        )
+        # bench-scale fixtures (the real A/B arms) come from the durable
+        # .bench_cache parquet; warmup-scale ones (<1M rows) are cheaper
+        # to generate inline than to cache
+        if BENCH_BIGSEEN >= 1_000_000:
+            seen_path = _ensure_bigseen(spark, BENCH_BIGSEEN)
+            initial_seen = spark.read.parquet(seen_path).persist()
+        else:
+            initial_seen = _bigseen_df(spark, BENCH_BIGSEEN).persist()
         initial_seen.count()  # materialize outside the timed window
     initial_bloom = None
     if BENCH_BLOOM and initial_seen is not None:
@@ -375,12 +454,23 @@ def _crawl_once(spark, pages_path: str) -> dict:
         # any folds.
         from crawlspark.operators.seen import build_bloom
 
-        initial_bloom = build_bloom(
-            initial_seen,
-            num_partitions=opts.bloom_partitions,
-            expected_per_partition=opts.bloom_expected_per_partition,
-            fpp=opts.bloom_fpp,
-        ).persist()
+        if seen_path is not None:
+            spath = _ensure_bigseen_shards(
+                spark,
+                seen_path,
+                BENCH_BIGSEEN,
+                opts.bloom_partitions,
+                opts.bloom_expected_per_partition,
+                opts.bloom_fpp,
+            )
+            initial_bloom = spark.read.parquet(spath).persist()
+        else:
+            initial_bloom = build_bloom(
+                initial_seen,
+                num_partitions=opts.bloom_partitions,
+                expected_per_partition=opts.bloom_expected_per_partition,
+                fpp=opts.bloom_fpp,
+            ).persist()
         initial_bloom.count()
     t0 = time.perf_counter()
     res = eng.run(
@@ -459,6 +549,7 @@ def _crawl_rep_subprocess(
     bigseen: int = 0,
     deep: int = 0,
     seeds: int = 0,
+    timeout_sec: float | None = None,
 ) -> dict:
     """Run one scaling rep in a CHILD python process.
 
@@ -486,13 +577,22 @@ def _crawl_rep_subprocess(
         # table (higher seen/wave contrast = the mid-frontier regime,
         # and a bounded bench wall)
         env["SPARK_GRAFT_BENCH_SEEDS"] = str(seeds)
-    proc = subprocess.run(
-        args,
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        env=env,
-    )
+    try:
+        # per-arm hard timeout: subprocess.run kills the child on
+        # expiry, so ONE wedged rep can no longer eat the whole wall
+        # budget (the round-3 failure mode)
+        proc = subprocess.run(
+            args,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env,
+            timeout=timeout_sec,
+        )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"crawl rep {cores} exceeded its {timeout_sec:.0f}s arm timeout"
+        )
     for line in proc.stdout.splitlines():
         if line.startswith("LEVEL_JSON "):
             return json.loads(line[len("LEVEL_JSON "):])
@@ -503,13 +603,15 @@ def _crawl_rep_subprocess(
 
 
 def _queries_phase() -> dict[str, float]:
-    """Time every queries() entry at full CPUS; runs in a child process
-    so the parent never hosts a JVM (a stopped-but-alive 24 GB gateway
-    JVM in the parent measurably perturbs later crawl levels)."""
+    """Time every queries() entry at local[QUERY_CPUS] (default = the
+    peak arm's core count — one JVM regresses above ~8 task threads, so
+    local[32] timed the regression, not the engine); runs in a child
+    process so the parent never hosts a JVM (a stopped-but-alive 24 GB
+    gateway JVM in the parent measurably perturbs later crawl levels)."""
     import __spark_entry__ as entry_mod
 
     _pin_cpus(None)
-    spark = _session(CPUS, CPUS)
+    spark = _session(QUERY_CPUS, QUERY_CPUS)
     qmap = entry_mod.queries()
     # untimed warmup: first query in a fresh session otherwise pays
     # session/codegen/Arrow startup (~3-5s) on its own clock
@@ -561,15 +663,21 @@ def _host_envelope(levels: list[int]) -> dict | None:
         return None
 
 
-def _queries_phase_subprocess() -> dict[str, float]:
+def _queries_phase_subprocess(timeout_sec: float | None = None) -> dict[str, float]:
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--queries"],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=timeout_sec,
+        )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"queries phase exceeded its {timeout_sec:.0f}s arm timeout"
+        )
     for line in proc.stdout.splitlines():
         if line.startswith("QUERIES_JSON "):
             return json.loads(line[len("QUERIES_JSON "):])
@@ -628,32 +736,101 @@ def main() -> None:
         return
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    t_start = time.monotonic()
 
-    # Scaling reps run FIRST and INTERLEAVED low,high,low,high,... each
-    # in its own child process (fresh JVM + fresh Python driver + its
-    # own idle-ranked CPU affinity).  Interleaving means any window of
-    # external host contention hits both levels instead of silently
-    # flattening whichever level happened to run inside it — an earlier
-    # all-low-then-all-high layout recorded an official run where the
-    # high level was exactly as slow as the low one.  Min per level is
-    # the noise-robust estimator; the per-rep walls and the delivered-
-    # parallelism calibrations are all reported as evidence.
-    # ONE rotation interleaving ALL crawl arms — scaling low/high, the
-    # peak-throughput arm, and the A/B arms (plain cold = the peak rep
-    # itself, bloom cold, big-seen plain, big-seen bloom): any window of
-    # co-tenant contention hits every arm instead of silently biasing
-    # whichever arm ran inside it.  REPS (≥3) rep pairs per arm; min per
-    # arm is the noise-robust estimator; per-rep walls all reported.
-    # The big-seen A/B pre-populates seen with 10x the wave size (the
-    # mid-frontier / 10^10 regime) — counters are identical in all four
-    # crawl modes (disjoint hosts); the bloom pre-filter's job is to
-    # win THAT pair, not cold start.
-    # 16M pre-seen URLs (~50x the wave size): the regime where the
-    # exact join's seen-side exchange dominates the wave — measured
-    # crossover on this host is ~8-10M seen rows; below it the plain
-    # join is too cheap for ANY sidecar to beat, above it the bloom's
-    # flat per-wave overhead wins (2x at 16M).  At a 10^10-URL frontier
-    # the ratio is 10^4x — far past the crossover.
+    def elapsed() -> float:
+        return time.monotonic() - t_start
+
+    def remaining() -> float:
+        return BENCH_BUDGET - elapsed()
+
+    # per-arm wall estimates: priors from rehearsed walls at the default
+    # 4M/400k sizing, replaced by 1.3x the worst measured wall of the
+    # same arm kind once one completes
+    est_prior = {
+        "queries": 320.0,
+        "low": 650.0,
+        "high": 300.0,
+        "peak": 260.0,
+        "bloom": 280.0,
+        "bs_plain": 300.0,
+        "bs_bloom": 320.0,
+        "deep": 420.0,
+    }
+    walls: dict[str, list[float]] = {}
+    skipped: list[str] = []
+    failed: dict[str, str] = {}
+
+    def est(kind: str) -> float:
+        w = walls.get(kind)
+        return 1.3 * max(w) if w else est_prior[kind]
+
+    def flush(name: str, payload: dict) -> None:
+        # PER-ARM FLUSH: a driver timeout now degrades to fewer arms in
+        # the recoverable stdout tail instead of zero evidence (the
+        # round-3 artifact was rc=124 with an empty tail)
+        print(
+            "ARM_JSON "
+            + json.dumps(
+                {"arm": name, "elapsed_sec": round(elapsed(), 1), **payload}
+            ),
+            flush=True,
+        )
+
+    def run_arm(kind: str, name: str, fn, mandatory: bool = False):
+        """Budget-guarded arm runner.
+
+        Optional arms are skipped once the remaining budget can't fit
+        their estimate; mandatory arms (they ARE the artifact) run even
+        slightly past budget but never more than 10 min over.  Every arm
+        runs under a hard subprocess timeout, so one wedged rep can't
+        eat the run."""
+        if (not mandatory and remaining() < est(kind)) or remaining() < -600:
+            skipped.append(name)
+            flush(
+                name,
+                {"skipped": True, "remaining_sec": round(remaining(), 1)},
+            )
+            return None
+        cap = max(240.0, min(est(kind) * 2.2, remaining() + 300.0))
+        t0 = time.monotonic()
+        try:
+            res = fn(cap)
+        except RuntimeError as e:
+            failed[name] = str(e)[:500]
+            flush(name, {"failed": str(e)[:300]})
+            return None
+        walls.setdefault(kind, []).append(time.monotonic() - t0)
+        flush(
+            name,
+            {"wall_sec": round(time.monotonic() - t0, 1), "result": res},
+        )
+        return res
+
+    # queries phase FIRST (mandatory, bounded): it is the artifact's
+    # required "queries" field and must never be starved by crawl arms
+    queries = (
+        run_arm(
+            "queries",
+            "queries",
+            lambda cap: _queries_phase_subprocess(cap),
+            mandatory=True,
+        )
+        or {}
+    )
+    # host scaling envelope (pure-CPU vs memory-streaming parallel
+    # efficiency at every measured level) — the ceiling any local[N]
+    # pair on this box must be read against; own 180s internal timeout
+    host_envelope = _host_envelope(
+        sorted({1, LOW_CORES, HIGH_CORES, PEAK_CORES})
+    )
+
+    # 16M pre-seen URLs (~80x the A/B wave): the regime where the exact
+    # join's seen-side exchange dominates the wave — measured crossover
+    # on this host is ~8-10M seen rows; below it the plain join is too
+    # cheap for ANY sidecar to beat, above it the bloom's flat per-wave
+    # overhead wins.  At a 10^10-URL frontier the ratio is 10^4x — far
+    # past the crossover.
     bigseen_n = int(
         os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN", "16000000")
     )
@@ -662,49 +839,76 @@ def main() -> None:
     # 10^10 the ratio is 10^4), so a 200k wave vs 16M seen (80x) is the
     # honest shape — and it bounds the A/B's share of the bench wall
     ab_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_AB_SEEDS", "200000"))
-    # host scaling envelope (pure-CPU vs memory-streaming parallel
-    # efficiency at every measured level) — the ceiling any local[N]
-    # pair on this box must be read against
-    host_envelope = _host_envelope(
-        sorted({1, LOW_CORES, HIGH_CORES, PEAK_CORES})
-    )
+
     low_reps: list[dict] = []
     high_reps: list[dict] = []
     peak_reps: list[dict] = []
     bloom_arm: list[dict] = []
     bs_plain_arm: list[dict] = []
     bs_bloom_arm: list[dict] = []
-    for i in range(REPS):
-        low_reps.append(_crawl_rep_subprocess(LOW_CORES))
-        high_reps.append(_crawl_rep_subprocess(HIGH_CORES))
-        try:
-            if i < 2:
-                # peak-throughput arm (headline URLs/s); min-of-2
-                peak_reps.append(_crawl_rep_subprocess(PEAK_CORES))
-            if i == 0:
-                # cold-start bloom sanity row (overhead vs crawl_peak is
-                # the comparison; the win criterion lives in the
-                # big-seen pair, so one rep suffices here)
-                bloom_arm.append(
-                    _crawl_rep_subprocess(PEAK_CORES, bloom=True)
-                )
-            bs_plain_arm.append(
-                _crawl_rep_subprocess(
-                    PEAK_CORES, bigseen=bigseen_n, seeds=ab_seeds
-                )
-            )
-            bs_bloom_arm.append(
-                _crawl_rep_subprocess(
-                    PEAK_CORES,
-                    bloom=True,
-                    bigseen=bigseen_n,
-                    seeds=ab_seeds,
-                )
-            )
-        except RuntimeError:
-            pass
-    crawl_low = min(low_reps, key=lambda r: r["seconds"])
-    crawl_high = min(high_reps, key=lambda r: r["seconds"])
+    deep_arm: list[dict] = []
+
+    def crawl(kind: str, store: list, mandatory: bool = False, **kw):
+        name = f"{kind}[{len(store)}]"
+        res = run_arm(
+            kind,
+            name,
+            lambda cap: _crawl_rep_subprocess(timeout_sec=cap, **kw),
+            mandatory=mandatory,
+        )
+        if res is not None:
+            store.append(res)
+        return res
+
+    # Rotation in VERDICT-r3 priority order: scaling pair > peak >
+    # big-seen A/B > deep > second rep round > bloom-cold > extra pairs.
+    # Arms stay INTERLEAVED across kinds (any window of co-tenant
+    # contention hits every arm instead of silently biasing whichever
+    # arm ran inside it); the first instance of each high-priority arm
+    # is mandatory, everything after is budget-guarded.
+    crawl("low", low_reps, mandatory=True, cores=LOW_CORES)
+    crawl("high", high_reps, mandatory=True, cores=HIGH_CORES)
+    crawl("peak", peak_reps, mandatory=True, cores=PEAK_CORES)
+    crawl(
+        "bs_plain", bs_plain_arm, mandatory=True, cores=PEAK_CORES,
+        bigseen=bigseen_n, seeds=ab_seeds,
+    )
+    crawl(
+        "bs_bloom", bs_bloom_arm, mandatory=True, cores=PEAK_CORES,
+        bloom=True, bigseen=bigseen_n, seeds=ab_seeds,
+    )
+    # deep-frontier arm: one 10-wave rep with compaction + bloom +
+    # salting on; evidence = flat per-wave wall (waves 6+ vs waves 2-5)
+    crawl(
+        "deep", deep_arm, cores=PEAK_CORES,
+        deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10")),
+    )
+    # second interleaved round (min-of-2 per arm)
+    crawl("low", low_reps, cores=LOW_CORES)
+    crawl("high", high_reps, cores=HIGH_CORES)
+    crawl(
+        "bs_plain", bs_plain_arm, cores=PEAK_CORES,
+        bigseen=bigseen_n, seeds=ab_seeds,
+    )
+    crawl(
+        "bs_bloom", bs_bloom_arm, cores=PEAK_CORES,
+        bloom=True, bigseen=bigseen_n, seeds=ab_seeds,
+    )
+    crawl("peak", peak_reps, cores=PEAK_CORES)
+    # cold-start bloom sanity row (overhead vs crawl_peak is the
+    # comparison; the win criterion lives in the big-seen pair)
+    crawl("bloom", bloom_arm, cores=PEAK_CORES, bloom=True)
+    # extra scaling pairs up to REPS, budget permitting
+    for _ in range(2, REPS):
+        crawl("low", low_reps, cores=LOW_CORES)
+        crawl("high", high_reps, cores=HIGH_CORES)
+
+    crawl_low = (
+        min(low_reps, key=lambda r: r["seconds"]) if low_reps else None
+    )
+    crawl_high = (
+        min(high_reps, key=lambda r: r["seconds"]) if high_reps else None
+    )
     crawl_peak = min(
         peak_reps, key=lambda r: r["seconds"], default=crawl_high
     )
@@ -715,58 +919,85 @@ def main() -> None:
     crawl_bigseen_bloom = min(
         bs_bloom_arm, key=lambda r: r["seconds"], default=None
     )
-    # deep-frontier arm: one 10-wave rep with compaction + bloom +
-    # salting on; evidence = flat per-wave wall (waves 6+ vs waves 2-5)
-    try:
-        crawl_deep = _crawl_rep_subprocess(
-            PEAK_CORES, deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10"))
+    crawl_deep = deep_arm[0] if deep_arm else None
+
+    if crawl_peak is not None:
+        queries["crawl_wave_loop"] = round(crawl_peak["seconds"], 3)
+
+    if crawl_low is not None and crawl_high is not None:
+        ratio = HIGH_CORES / LOW_CORES
+        eff = (
+            (crawl_high["urls_per_sec"] / crawl_low["urls_per_sec"]) / ratio
+            if crawl_low["urls_per_sec"] > 0
+            else 0.0
         )
-    except RuntimeError:
-        crawl_deep = None
+        # efficiency against the parallelism the host actually DELIVERED
+        # to each chosen rep (calibration probe): a co-tenant stealing
+        # half of the low CPU set slows the low level through no fault
+        # of the engine; raw efficiency stays the headline, this
+        # isolates the engine's share.  Guarded to [raw, 1.0].
+        d_lo = crawl_low.get("delivered_parallelism") or LOW_CORES
+        d_hi = crawl_high.get("delivered_parallelism") or HIGH_CORES
+        eff_delivered = (
+            (crawl_high["urls_per_sec"] / crawl_low["urls_per_sec"])
+            / (d_hi / d_lo)
+            if crawl_low["urls_per_sec"] > 0 and d_lo > 0
+            else 0.0
+        )
+        # clamp: a mis-measured calibration (0.3s probe vs minutes-long
+        # rep) must not publish impossible numbers — delivered
+        # efficiency can only refine raw upward, >1.0 is noise
+        eff_delivered = min(max(eff_delivered, eff), 1.0)
+        # work/latency decomposition: T = W/c + L from the two levels
+        t_l, t_h = crawl_low["seconds"], crawl_high["seconds"]
+        w = (t_l - t_h) / (1.0 / LOW_CORES - 1.0 / HIGH_CORES)
+        lat = max(0.0, t_h - w / HIGH_CORES)
+        scaling = {
+            "cores_low": LOW_CORES,
+            "cores_high": HIGH_CORES,
+            "t_low_sec": round(t_l, 2),
+            "t_high_sec": round(t_h, 2),
+            "throughput_low": round(crawl_low["urls_per_sec"], 1),
+            "throughput_high": round(crawl_high["urls_per_sec"], 1),
+            "efficiency": round(eff, 3),
+            "efficiency_delivered": round(eff_delivered, 3),
+            "fitted_parallel_work_cpu_sec": round(w, 1),
+            "fitted_fixed_latency_sec": round(lat, 1),
+            "reps_low_sec": [round(r["seconds"], 2) for r in low_reps],
+            "reps_high_sec": [round(r["seconds"], 2) for r in high_reps],
+            "delivered_parallelism_low": [
+                r.get("delivered_parallelism") for r in low_reps
+            ],
+            "delivered_parallelism_high": [
+                r.get("delivered_parallelism") for r in high_reps
+            ],
+        }
+    else:
+        scaling = {"error": "scaling pair incomplete", "failed": failed}
 
-    queries = _queries_phase_subprocess()
-    queries["crawl_wave_loop"] = round(crawl_peak["seconds"], 3)
-
-    ratio = HIGH_CORES / LOW_CORES
-    eff = (
-        (crawl_high["urls_per_sec"] / crawl_low["urls_per_sec"]) / ratio
-        if crawl_low["urls_per_sec"] > 0
-        else 0.0
-    )
-    # efficiency against the parallelism the host actually DELIVERED to
-    # each chosen rep (calibration probe): a co-tenant stealing half of
-    # the 2-CPU set slows the low level through no fault of the engine;
-    # raw efficiency stays the headline, this isolates the engine's
-    # share.  Guarded to [raw, 1.5] sanity range.
-    d_lo = crawl_low.get("delivered_parallelism") or LOW_CORES
-    d_hi = crawl_high.get("delivered_parallelism") or HIGH_CORES
-    eff_delivered = (
-        (crawl_high["urls_per_sec"] / crawl_low["urls_per_sec"])
-        / (d_hi / d_lo)
-        if crawl_low["urls_per_sec"] > 0 and d_lo > 0
-        else 0.0
-    )
-    # clamp: a mis-measured calibration (0.3s probe vs minutes-long
-    # rep) must not publish impossible numbers — delivered efficiency
-    # can only refine raw upward, and >1.0 is definitionally noise
-    eff_delivered = min(max(eff_delivered, eff), 1.0)
-    # work/latency decomposition: T = W/c + L fitted from the two levels
-    t_l, t_h = crawl_low["seconds"], crawl_high["seconds"]
-    w = (t_l - t_h) / (1.0 / LOW_CORES - 1.0 / HIGH_CORES)
-    lat = max(0.0, t_h - w / HIGH_CORES)
     out = {
         "metric": "crawl_urls_per_sec",
-        "value": round(crawl_peak["urls_per_sec"], 1),
+        "value": round(crawl_peak["urls_per_sec"], 1) if crawl_peak else 0.0,
         "unit": "sec",
         "queries": queries,
+        "queries_cpus": QUERY_CPUS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "budget": {
+            "budget_sec": BENCH_BUDGET,
+            "elapsed_sec": round(elapsed(), 1),
+            "arms_skipped": skipped,
+            "arms_failed": failed,
+            "arm_walls_sec": {
+                k: [round(x, 1) for x in v] for k, v in walls.items()
+            },
+        },
         "crawl": {
             "pages": BENCH_PAGES,
             "hosts": BENCH_HOSTS,
             "seeds": BENCH_SEEDS,
-            "waves": crawl_peak["waves"],
-            "fetches": crawl_peak["fetches"],
-            "visits": crawl_peak["visits"],
+            "waves": crawl_peak["waves"] if crawl_peak else None,
+            "fetches": crawl_peak["fetches"] if crawl_peak else None,
+            "visits": crawl_peak["visits"] if crawl_peak else None,
         },
         "crawl_peak": dict(
             _brief(crawl_peak) or {},
@@ -795,26 +1026,7 @@ def main() -> None:
         if crawl_bigseen_bloom
         else None,
         "crawl_deep": _deep_brief(crawl_deep),
-        "scaling": {
-            "cores_low": LOW_CORES,
-            "cores_high": HIGH_CORES,
-            "t_low_sec": round(t_l, 2),
-            "t_high_sec": round(t_h, 2),
-            "throughput_low": round(crawl_low["urls_per_sec"], 1),
-            "throughput_high": round(crawl_high["urls_per_sec"], 1),
-            "efficiency": round(eff, 3),
-            "efficiency_delivered": round(eff_delivered, 3),
-            "fitted_parallel_work_cpu_sec": round(w, 1),
-            "fitted_fixed_latency_sec": round(lat, 1),
-            "reps_low_sec": [round(r["seconds"], 2) for r in low_reps],
-            "reps_high_sec": [round(r["seconds"], 2) for r in high_reps],
-            "delivered_parallelism_low": [
-                r.get("delivered_parallelism") for r in low_reps
-            ],
-            "delivered_parallelism_high": [
-                r.get("delivered_parallelism") for r in high_reps
-            ],
-        },
+        "scaling": scaling,
         # secondary scaling point (2N): HIGH → PEAK from the same runs,
         # no extra reps — completes the curve past the pinned pair
         "scaling_secondary": {
@@ -831,7 +1043,7 @@ def main() -> None:
             if crawl_high["urls_per_sec"] > 0
             else 0.0,
         }
-        if peak_reps
+        if peak_reps and crawl_high is not None
         else None,
     }
     print(json.dumps(out))
