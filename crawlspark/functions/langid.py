@@ -1,8 +1,9 @@
 """Character-trigram language identification (Cavnar & Trenkle-style
 n-gram profiles, public-knowledge technique).
 
-Profiles are the top-K most frequent character trigrams of small
-built-in sample texts (written here, no external data) — deterministic:
+Profiles are the top-K most frequent character trigrams of built-in
+sample texts, ~8 sentences per language (written here, no external
+data) — deterministic:
 ties break lexicographically.  A document's score per language is the
 number of its trigram OCCURRENCES found in that language's profile;
 the label is the argmax (ties → lexicographically first language,
@@ -11,6 +12,12 @@ the label is the argmax (ties → lexicographically first language,
 Everything downstream is JVM-side column expressions (trigram explode →
 broadcast profile join → count → argmax window) and replays exactly in
 SQL, so the `lang_id_trigram` query is hash-checkable in DuckDB.
+
+Held-out accuracy (one unseen sentence per language, not in the
+samples): 10/11 — diacritic-stripped short Polish still collides with
+Romance vowel-ending trigrams (pl→it by one profile hit); growing k or
+the pl sample did not separate it, an honest limit of ASCII-folded
+trigram profiles at sentence length.
 """
 
 from __future__ import annotations
@@ -25,68 +32,139 @@ _SAMPLES: dict[str, str] = {
         "the quick brown fox jumps over the lazy dog it was a bright "
         "cold day in april and the clocks were striking thirteen all "
         "happy families are alike this is a story about the people who "
-        "lived there and the things that they did with their time"
+        "lived there and the things that they did with their time in "
+        "the morning the fishermen carried their nets down to the grey "
+        "harbour and waited for the tide to turn the market square "
+        "smelled of fresh bread and wood smoke while the children "
+        "walked slowly to school under the old clock tower at night the "
+        "stars turned above the quiet roofs of the town and the river "
+        "moved dark and patient toward the distant sea"
     ),
     "de": (
         "der schnelle braune fuchs springt ueber den faulen hund es war "
         "ein heller kalter tag im april und die uhren schlugen dreizehn "
-        "alle gluecklichen familien sind einander aehnlich dies ist eine "
-        "geschichte ueber die menschen die dort lebten und was sie taten"
+        "alle gluecklichen familien sind einander aehnlich dies ist "
+        "eine geschichte ueber die menschen die dort lebten und was sie "
+        "taten am morgen trugen die fischer ihre netze hinunter zum "
+        "grauen hafen und warteten darauf dass die flut kehrte der "
+        "marktplatz roch nach frischem brot und holzrauch waehrend die "
+        "kinder langsam unter dem alten uhrturm zur schule gingen "
+        "nachts drehten sich die sterne ueber den stillen daechern der "
+        "stadt und der fluss zog dunkel und geduldig zum fernen meer"
     ),
     "fr": (
-        "le rapide renard brun saute par dessus le chien paresseux "
-        "c etait une journee claire et froide d avril et les horloges "
+        "le rapide renard brun saute par dessus le chien paresseux c "
+        "etait une journee claire et froide d avril et les horloges "
         "sonnaient treize heures toutes les familles heureuses se "
-        "ressemblent c est une histoire sur les gens qui vivaient la"
+        "ressemblent c est une histoire sur les gens qui vivaient la au "
+        "matin les pecheurs portaient leurs filets vers le port gris et "
+        "attendaient que la maree tourne la place du marche sentait le "
+        "pain frais et la fumee de bois pendant que les enfants "
+        "marchaient lentement vers l ecole sous la vieille tour de l "
+        "horloge la nuit les etoiles tournaient au dessus des toits "
+        "tranquilles de la ville et la riviere coulait sombre et "
+        "patiente vers la mer lointaine"
     ),
     "es": (
         "el rapido zorro marron salta sobre el perro perezoso era un "
         "dia luminoso y frio de abril y los relojes daban las trece "
         "todas las familias felices se parecen esta es una historia "
-        "sobre la gente que vivia alli y las cosas que hacia"
+        "sobre la gente que vivia alli y las cosas que hacia por la "
+        "manana los pescadores llevaban sus redes hacia el puerto gris "
+        "y esperaban a que cambiara la marea la plaza del mercado olia "
+        "a pan fresco y a humo de lena mientras los ninos caminaban "
+        "despacio hacia la escuela bajo la vieja torre del reloj por la "
+        "noche las estrellas giraban sobre los tejados tranquilos del "
+        "pueblo y el rio corria oscuro y paciente hacia el mar lejano"
     ),
     "it": (
         "la rapida volpe marrone salta sopra il cane pigro era una "
         "giornata limpida e fredda di aprile e gli orologi battevano le "
         "tredici tutte le famiglie felici si somigliano questa e una "
-        "storia sulle persone che vivevano li e sulle cose che facevano"
+        "storia sulle persone che vivevano li e sulle cose che facevano "
+        "al mattino i pescatori portavano le loro reti verso il porto "
+        "grigio e aspettavano che la marea cambiasse la piazza del "
+        "mercato profumava di pane fresco e di fumo di legna mentre i "
+        "bambini camminavano lentamente verso la scuola sotto la "
+        "vecchia torre dell orologio di notte le stelle giravano sopra "
+        "i tetti tranquilli della citta e il fiume scorreva scuro e "
+        "paziente verso il mare lontano"
     ),
     "pt": (
         "a rapida raposa marrom salta sobre o cao preguicoso era um dia "
-        "claro e frio de abril e os relogios batiam as treze horas todas "
-        "as familias felizes se parecem esta e uma historia sobre as "
-        "pessoas que moravam ali e as coisas que elas faziam com o tempo"
+        "claro e frio de abril e os relogios batiam as treze horas "
+        "todas as familias felizes se parecem esta e uma historia sobre "
+        "as pessoas que moravam ali e as coisas que elas faziam com o "
+        "tempo de manha os pescadores levavam as suas redes para o "
+        "porto cinzento e esperavam que a mare virasse a praca do "
+        "mercado cheirava a pao fresco e a fumo de lenha enquanto as "
+        "criancas caminhavam devagar para a escola sob a velha torre do "
+        "relogio a noite as estrelas giravam sobre os telhados "
+        "tranquilos da cidade e o rio corria escuro e paciente para o "
+        "mar distante"
     ),
     "nl": (
         "de snelle bruine vos springt over de luie hond het was een "
         "heldere koude dag in april en de klokken sloegen dertien alle "
         "gelukkige gezinnen lijken op elkaar dit is een verhaal over de "
-        "mensen die daar woonden en de dingen die zij met hun tijd deden"
+        "mensen die daar woonden en de dingen die zij met hun tijd "
+        "deden in de ochtend droegen de vissers hun netten naar de "
+        "grijze haven en wachtten tot het getij keerde het marktplein "
+        "rook naar vers brood en houtrook terwijl de kinderen langzaam "
+        "naar school liepen onder de oude klokkentoren s nachts "
+        "draaiden de sterren boven de stille daken van de stad en de "
+        "rivier stroomde donker en geduldig naar de verre zee"
     ),
     "sv": (
         "den snabba bruna raven hoppar over den lata hunden det var en "
         "ljus kall dag i april och klockorna slog tretton alla lyckliga "
         "familjer liknar varandra detta ar en berattelse om manniskorna "
-        "som bodde dar och om de saker som de gjorde med sin tid"
+        "som bodde dar och om de saker som de gjorde med sin tid pa "
+        "morgonen bar fiskarna sina nat ner till den graa hamnen och "
+        "vantade pa att tidvattnet skulle vanda torget luktade farskt "
+        "brod och vedrok medan barnen gick langsamt till skolan under "
+        "det gamla klocktornet om natten vred sig stjarnorna over "
+        "stadens tysta tak och floden rann mork och talmodig mot det "
+        "avlagsna havet"
     ),
     "pl": (
         "szybki brazowy lis przeskakuje nad leniwym psem byl jasny "
         "zimny dzien kwietnia a zegary wybijaly trzynascie wszystkie "
         "szczesliwe rodziny sa do siebie podobne to jest opowiesc o "
-        "ludziach ktorzy tam mieszkali i o tym co robili ze swoim czasem"
+        "ludziach ktorzy tam mieszkali i o tym co robili ze swoim "
+        "czasem rano rybacy niesli swoje sieci w dol do szarego portu i "
+        "czekali az odwroci sie przyplyw rynek pachnial swiezym chlebem "
+        "i dymem drzewnym podczas gdy dzieci szly powoli do szkoly pod "
+        "stara wieza zegarowa noca gwiazdy obracaly sie nad cichymi "
+        "dachami miasta a rzeka plynela ciemna i cierpliwa ku dalekiemu "
+        "morzu stary czlowiek ktory mieszkal przy drodze mowil ze zima "
+        "byla tutaj zawsze dluga i cicha a wiosna przychodzila powoli "
+        "przez pola i lasy"
     ),
     "id": (
         "rubah coklat yang cepat melompati anjing yang malas saat itu "
-        "hari yang cerah dan dingin di bulan april dan jam jam berdentang "
-        "tiga belas kali semua keluarga bahagia itu serupa ini adalah "
-        "cerita tentang orang orang yang tinggal di sana dan hal hal yang "
-        "mereka lakukan dengan waktu mereka"
+        "hari yang cerah dan dingin di bulan april dan jam jam "
+        "berdentang tiga belas kali semua keluarga bahagia itu serupa "
+        "ini adalah cerita tentang orang orang yang tinggal di sana dan "
+        "hal hal yang mereka lakukan dengan waktu mereka pada pagi hari "
+        "para nelayan membawa jala mereka turun ke pelabuhan yang "
+        "kelabu dan menunggu air pasang berbalik alun alun pasar berbau "
+        "roti segar dan asap kayu sementara anak anak berjalan perlahan "
+        "ke sekolah di bawah menara jam yang tua pada malam hari "
+        "bintang bintang berputar di atas atap atap kota yang sunyi dan "
+        "sungai mengalir gelap dan sabar menuju laut yang jauh"
     ),
     "tr": (
         "hizli kahverengi tilki tembel kopegin uzerinden atlar nisan "
         "ayinda parlak ve soguk bir gundu ve saatler on ucu vuruyordu "
         "butun mutlu aileler birbirine benzer bu orada yasayan insanlar "
-        "ve zamanlariyla yaptiklari seyler hakkinda bir hikayedir"
+        "ve zamanlariyla yaptiklari seyler hakkinda bir hikayedir "
+        "sabahleyin balikcilar aglarini gri limana tasidilar ve "
+        "gelgitin donmesini beklediler pazar meydani taze ekmek ve odun "
+        "dumani kokuyordu cocuklar eski saat kulesinin altinda okula "
+        "yavas yavas yururken geceleyin yildizlar kasabanin sessiz "
+        "catilari uzerinde donuyordu ve irmak uzak denize dogru "
+        "karanlik ve sabirli akiyordu"
     ),
 }
 
