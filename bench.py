@@ -688,10 +688,18 @@ def _queries_phase_subprocess(timeout_sec: float | None = None) -> dict[str, flo
 
 def _deep_brief(rep: dict | None) -> dict | None:
     """Deep-frontier evidence row: per-wave walls + the flat-tail ratio
-    (mean wall of waves 6+ over mean wall of waves 2-5; ≤1.2 = flat)."""
+    (mean wall of waves 6+ over mean wall of waves 2-5; ≤1.2 = flat).
+
+    Two ratios ship: the raw wall ratio (the headline — per-wave cost
+    must not grow with crawl depth) and a per-fetch-normalized one,
+    because wave SIZE drifts across a deep crawl (frontier growth
+    early, graph saturation late) and the raw ratio alone would
+    conflate that drift with state-accumulation cost.  Per-wave fetch
+    counts ship alongside so both are auditable."""
     if not rep:
         return None
     walls = rep.get("wave_walls_sec") or []
+    fetches = rep.get("wave_fetches") or []
     early = walls[2:5]
     late = walls[5:]
     ratio = (
@@ -699,13 +707,22 @@ def _deep_brief(rep: dict | None) -> dict | None:
         if early and late and sum(early) > 0
         else None
     )
+    per_fetch_ratio = None
+    if len(fetches) == len(walls):
+        ef = [w / f for w, f in zip(walls[2:5], fetches[2:5]) if f > 0]
+        lf = [w / f for w, f in zip(walls[5:], fetches[5:]) if f > 0]
+        if ef and lf and sum(ef) > 0:
+            per_fetch_ratio = round(
+                (sum(lf) / len(lf)) / (sum(ef) / len(ef)), 3
+            )
     return {
         "seconds": round(rep["seconds"], 2),
         "waves": rep["waves"],
         "fetches": rep["fetches"],
         "wave_walls_sec": walls,
-        "wave_fetches": rep.get("wave_fetches"),
+        "wave_fetches": fetches,
         "late_over_early_wall_ratio": ratio,
+        "late_over_early_per_fetch_ratio": per_fetch_ratio,
     }
 
 
