@@ -126,6 +126,15 @@ BENCH_BIGSEEN = 0
 # grow with crawl depth).  0 = off, else the wave count.
 BENCH_DEEP = 0
 DEEP_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_DEEP_SEEDS", "50000"))
+# per-host wave cap for the deep arm (0 = uncapped).  Without a cap the
+# bench graph's frontier explodes then saturates (round-3 rehearsal:
+# wave fetches 51k -> 1.17M -> 1.5k), so the late/early wall ratio
+# conflates wave-SIZE drift with the state-accumulation cost the flat-
+# tail claim is actually about.  Capping each host's per-wave admissions
+# (the engine's politeness budget, deferral without recount) holds wave
+# size ~constant at cap*hosts once the frontier fills — the same
+# politeness-bounded steady state a real 10^10 deep crawl runs in.
+DEEP_HOST_CAP = int(os.environ.get("SPARK_GRAFT_BENCH_DEEP_CAP", "10"))
 CACHE = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE",
     f"/root/repo/.bench_cache/pages_{BENCH_PAGES}_{BENCH_HOSTS}",
@@ -422,6 +431,9 @@ def _crawl_once(spark, pages_path: str) -> dict:
         # compose-parity pytest pins counters identical) — this arm
         # evidences flat per-wave wall at depth, not peak throughput
         seen_compact_every=5 if BENCH_DEEP else 8,
+        # constant-size waves for the deep arm (see DEEP_HOST_CAP): the
+        # flat-tail ratio is only meaningful when wave size is steady
+        max_urls_per_host_per_wave=(DEEP_HOST_CAP if BENCH_DEEP else 0),
         # proportional seed quotas make host0 ~20% of the frontier (the
         # honest Zipf shape); without salting its per-host FIFO window
         # sort runs on ONE task and serializes the high level's tail.
@@ -877,39 +889,56 @@ def main() -> None:
             store.append(res)
         return res
 
+    def crawl_ab_pair(mandatory: bool = False):
+        """One big-seen A/B pair, ATOMIC under the budget: the round-4
+        rehearsal ran bs_plain[1] and then budget-skipped bs_bloom[1],
+        leaving the A/B with asymmetric rep counts (min-of-2 plain vs
+        min-of-1 bloom — a biased inequality).  A pair only starts if
+        BOTH halves fit the remaining budget; otherwise both are
+        skipped and the comparison stays rep-symmetric."""
+        n = len(bs_plain_arm)
+        if not mandatory and remaining() < est("bs_plain") + est("bs_bloom"):
+            for kind in ("bs_plain", "bs_bloom"):
+                name = f"{kind}[{n}]"
+                skipped.append(name)
+                flush(
+                    name,
+                    {"skipped": True, "remaining_sec": round(remaining(), 1)},
+                )
+            return
+        crawl(
+            "bs_plain", bs_plain_arm, mandatory=mandatory, cores=PEAK_CORES,
+            bigseen=bigseen_n, seeds=ab_seeds,
+        )
+        crawl(
+            "bs_bloom", bs_bloom_arm, mandatory=mandatory, cores=PEAK_CORES,
+            bloom=True, bigseen=bigseen_n, seeds=ab_seeds,
+        )
+
     # Rotation in VERDICT-r3 priority order: scaling pair > peak >
-    # big-seen A/B > deep > second rep round > bloom-cold > extra pairs.
-    # Arms stay INTERLEAVED across kinds (any window of co-tenant
-    # contention hits every arm instead of silently biasing whichever
-    # arm ran inside it); the first instance of each high-priority arm
-    # is mandatory, everything after is budget-guarded.
+    # big-seen A/B > second rep round (scaling pair, A/B pair) > deep >
+    # second peak > bloom-cold > extra scaling pairs.  Arms stay
+    # INTERLEAVED across kinds (any window of co-tenant contention hits
+    # every arm instead of silently biasing whichever arm ran inside
+    # it); the first instance of each high-priority arm is mandatory,
+    # everything after is budget-guarded.  The round-4 rehearsal walls
+    # (BASELINE.md) put this order ~3150s of the 3300s default budget
+    # with every VERDICT-asked field landed: 2 scaling pairs, 2 A/B
+    # pairs, peak, deep.
     crawl("low", low_reps, mandatory=True, cores=LOW_CORES)
     crawl("high", high_reps, mandatory=True, cores=HIGH_CORES)
     crawl("peak", peak_reps, mandatory=True, cores=PEAK_CORES)
-    crawl(
-        "bs_plain", bs_plain_arm, mandatory=True, cores=PEAK_CORES,
-        bigseen=bigseen_n, seeds=ab_seeds,
-    )
-    crawl(
-        "bs_bloom", bs_bloom_arm, mandatory=True, cores=PEAK_CORES,
-        bloom=True, bigseen=bigseen_n, seeds=ab_seeds,
-    )
-    # deep-frontier arm: one 10-wave rep with compaction + bloom +
-    # salting on; evidence = flat per-wave wall (waves 6+ vs waves 2-5)
-    crawl(
-        "deep", deep_arm, cores=PEAK_CORES,
-        deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10")),
-    )
+    crawl_ab_pair(mandatory=True)
     # second interleaved round (min-of-2 per arm)
     crawl("low", low_reps, cores=LOW_CORES)
     crawl("high", high_reps, cores=HIGH_CORES)
+    crawl_ab_pair()
+    # deep-frontier arm: one 10-wave politeness-capped rep with
+    # compaction + bloom + salting on; evidence = flat per-wave wall
+    # (waves 6+ vs waves 2-5) at ~constant wave size (DEEP_HOST_CAP)
     crawl(
-        "bs_plain", bs_plain_arm, cores=PEAK_CORES,
-        bigseen=bigseen_n, seeds=ab_seeds,
-    )
-    crawl(
-        "bs_bloom", bs_bloom_arm, cores=PEAK_CORES,
-        bloom=True, bigseen=bigseen_n, seeds=ab_seeds,
+        "deep", deep_arm, cores=PEAK_CORES,
+        deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10")),
     )
     crawl("peak", peak_reps, cores=PEAK_CORES)
     # cold-start bloom sanity row (overhead vs crawl_peak is the
