@@ -71,7 +71,9 @@ def test_iceberg_live_catalog_smoke():
     jar must be set before the JVM starts, so the suite's shared session
     can't host it).  Skipped in this sandbox: no iceberg-spark-runtime
     jar ships in the image and there is no network to fetch one
-    (repo1.maven.org fails DNS — verified 2026-08-17).  On any host with
+    (repo1.maven.org fails DNS — verified 2026-08-17, jar-glob re-run
+    2026-08-20: no iceberg-spark-runtime jar anywhere on this host).
+    On any host with
     the jar, this test exercises create/append/DELETE-retry/snapshots/
     manifest/resume against the live catalog.
     """
