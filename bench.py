@@ -451,8 +451,23 @@ def _crawl_once(spark, pages_path: str) -> dict:
         # to generate inline than to cache
         if BENCH_BIGSEEN >= 1_000_000:
             seen_path = _ensure_bigseen(spark, BENCH_BIGSEEN)
-            initial_seen = spark.read.parquet(seen_path).persist()
+            # parquet-backed and NOT heap-persisted: the engine commits
+            # this table to the durable store on entry (seen_inc, wave
+            # -1) and re-reads it from there, so a .persist()ed copy is
+            # never referenced again — it would pin 16M rows on the
+            # executor heap for the whole timed run as pure GC pressure
+            # (round-4 event-log profiling measured the big-seen A/B
+            # delta as GC-dominated, e.g. a count stage spending 42s in
+            # GC, not probe-dominated).  The .count() below warms the OS
+            # page cache instead, which is also the honest 100 TB shape:
+            # a real cluster's seen table lives in the object store, not
+            # in executor memory.
+            initial_seen = spark.read.parquet(seen_path)
         else:
+            # warmup-scale synthesized table: persist so the engine's
+            # entry commit doesn't recompute the synthesis (cheap, but
+            # warmup should stay short); unpersist() below is a no-op
+            # for the parquet branch
             initial_seen = _bigseen_df(spark, BENCH_BIGSEEN).persist()
         initial_seen.count()  # materialize outside the timed window
     initial_bloom = None
