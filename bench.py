@@ -576,6 +576,7 @@ def _crawl_rep_subprocess(
     bigseen: int = 0,
     deep: int = 0,
     seeds: int = 0,
+    waves: int = 0,
     timeout_sec: float | None = None,
 ) -> dict:
     """Run one scaling rep in a CHILD python process.
@@ -604,6 +605,8 @@ def _crawl_rep_subprocess(
         # table (higher seen/wave contrast = the mid-frontier regime,
         # and a bounded bench wall)
         env["SPARK_GRAFT_BENCH_SEEDS"] = str(seeds)
+    if waves:
+        env["SPARK_GRAFT_BENCH_WAVES"] = str(waves)
     try:
         # per-arm hard timeout: subprocess.run kills the child on
         # expiry, so ONE wedged rep can no longer eat the whole wall
@@ -797,8 +800,8 @@ def main() -> None:
         "high": 300.0,
         "peak": 260.0,
         "bloom": 280.0,
-        "bs_plain": 300.0,
-        "bs_bloom": 320.0,
+        "bs_plain": 180.0,
+        "bs_bloom": 180.0,
         "deep": 320.0,
     }
     walls: dict[str, list[float]] = {}
@@ -895,6 +898,16 @@ def main() -> None:
     # 10^10 the ratio is 10^4), so a 200k wave vs 16M seen (80x) is the
     # honest shape — and it bounds the A/B's share of the bench wall
     ab_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_AB_SEEDS", "200000"))
+    # ... and at its own wave DEPTH: frontier growth multiplies the wave
+    # ~3x per hop, so by wave 3 a 200k-seed crawl's wave is ~1.15M URLs
+    # — 14x under the seen table, OUTSIDE the seen >> wave regime this
+    # arm exists to measure (and which the crossover gate guards in
+    # production).  A measured exact-config pair split per wave: bloom
+    # WON waves 1-2 (59.8s vs 69.7s, ratios 80x/27x) and lost only the
+    # out-of-regime wave 3 (85s vs 50s, 14x).  Two waves keep every
+    # timed wave inside the regime; both arms change identically, so
+    # fetch counters stay comparable.
+    ab_waves = int(os.environ.get("SPARK_GRAFT_BENCH_AB_WAVES", "2"))
 
     low_reps: list[dict] = []
     high_reps: list[dict] = []
@@ -936,11 +949,11 @@ def main() -> None:
             return
         crawl(
             "bs_plain", bs_plain_arm, mandatory=mandatory, cores=PEAK_CORES,
-            bigseen=bigseen_n, seeds=ab_seeds,
+            bigseen=bigseen_n, seeds=ab_seeds, waves=ab_waves,
         )
         crawl(
             "bs_bloom", bs_bloom_arm, mandatory=mandatory, cores=PEAK_CORES,
-            bloom=True, bigseen=bigseen_n, seeds=ab_seeds,
+            bloom=True, bigseen=bigseen_n, seeds=ab_seeds, waves=ab_waves,
         )
 
     # Rotation in marginal-evidence order: the mandatory core first
