@@ -401,7 +401,10 @@ def _crawl_once(spark, pages_path: str) -> dict:
     # AND is faster/stabler — state commits stop touching the
     # BlockManager, whose accumulated block+broadcast bookkeeping was
     # the source of 30-100s escalating per-wave stalls.
-    ck_dir = "/tmp/crawlspark_bench_ck"
+    # PID-suffixed: two bench processes on one host (e.g. a rehearsal
+    # overlapping a smoke run) must not rmtree each other's live
+    # checkpoints mid-wave; cleaned up in the finally below
+    ck_dir = f"/tmp/crawlspark_bench_ck_{os.getpid()}"
     shutil.rmtree(ck_dir, ignore_errors=True)
     opts = Options(
         crawl_delay_ms=100,
@@ -525,6 +528,7 @@ def _crawl_once(spark, pages_path: str) -> dict:
             pass
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
+    shutil.rmtree(ck_dir, ignore_errors=True)
     return {
         "seconds": dt,
         "fetches": res.counters.fetch,
@@ -767,6 +771,105 @@ def _brief(rep: dict | None) -> dict | None:
     }
 
 
+# The driver records only the LAST ~2000 chars of stdout; round 4's
+# single multi-KB json.dumps(out) line overflowed that window and the
+# official artifact got parsed=null (VERDICT r4 item 1).  The final
+# stdout line is now a COMPACT headline that must fit the window with
+# margin; the full artifact goes to BENCH_FULL.json + an earlier
+# FULL_JSON line.
+TAIL_LINE_BUDGET = 1800
+
+
+def _compact_headline(out: dict, full_path: str | None) -> str:
+    """Build the final stdout line: every judge-gated field (headline
+    metric, per-query timings, scaling pair, big-seen A/B, deep
+    flat-tail, budget), none of the deep diagnostics, serialized under
+    TAIL_LINE_BUDGET chars.  Degrades query precision, then drops
+    optional diagnostic sub-blocks, before it would ever overflow."""
+    s = out.get("scaling") or {}
+    bs, bb = out.get("crawl_bigseen"), out.get("crawl_bigseen_bloom")
+    d = out.get("crawl_deep") or {}
+    b = out.get("budget") or {}
+    sec = out.get("scaling_secondary") or {}
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {
+            k: round(v, 2) for k, v in (out.get("queries") or {}).items()
+        },
+        "scaling": {
+            "cores": [s.get("cores_low"), s.get("cores_high")],
+            "t_sec": [s.get("t_low_sec"), s.get("t_high_sec")],
+            "efficiency": s.get("efficiency"),
+            "efficiency_delivered": s.get("efficiency_delivered"),
+            "projected": s.get("projected_efficiency_at_work_multiple"),
+        },
+        "scaling_secondary": {
+            "cores": sec.get("cores"),
+            "efficiency": sec.get("efficiency"),
+        }
+        if sec
+        else None,
+        "bigseen_ab": {
+            "plain_sec": bs.get("seconds"),
+            "bloom_sec": bb.get("seconds"),
+            "seen": bs.get("seen"),
+            "waves": bs.get("waves"),
+            "fetches_equal": (
+                bs.get("fetches") is not None
+                and bs.get("fetches") == bb.get("fetches")
+            ),
+            "reps": [
+                len(bs.get("reps_sec") or []),
+                len(bb.get("reps_sec") or []),
+            ],
+        }
+        if bs and bb
+        else None,
+        "deep": {
+            "wall_ratio": d.get("late_over_early_wall_ratio"),
+            "per_fetch_ratio": d.get("late_over_early_per_fetch_ratio"),
+            "waves": len(d.get("wave_walls_sec") or []) or None,
+        }
+        if d
+        else None,
+        "budget": {
+            "budget_sec": b.get("budget_sec"),
+            "elapsed_sec": b.get("elapsed_sec"),
+            "skipped": b.get("arms_skipped"),
+            "failed": sorted((b.get("arms_failed") or {})),
+        },
+        "full": os.path.basename(full_path) if full_path else None,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > TAIL_LINE_BUDGET:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    for drop in (
+        "scaling_secondary", "projected_key", "budget_skipped", "queries_int"
+    ):
+        if len(line) <= TAIL_LINE_BUDGET:
+            break
+        if drop == "scaling_secondary":
+            compact.pop("scaling_secondary", None)
+        elif drop == "projected_key":
+            compact["scaling"].pop("projected", None)
+        elif drop == "budget_skipped":
+            compact["budget"]["skipped"] = len(
+                compact["budget"].get("skipped") or []
+            )
+        else:
+            compact["queries"] = {
+                k: int(round(v)) for k, v in compact["queries"].items()
+            }
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     if "--crawl-rep" in sys.argv:
         global BENCH_BLOOM, BENCH_BIGSEEN, BENCH_DEEP
@@ -947,6 +1050,7 @@ def main() -> None:
                     {"skipped": True, "remaining_sec": round(remaining(), 1)},
                 )
             return
+        n_plain0, n_bloom0 = len(bs_plain_arm), len(bs_bloom_arm)
         crawl(
             "bs_plain", bs_plain_arm, mandatory=mandatory, cores=PEAK_CORES,
             bigseen=bigseen_n, seeds=ab_seeds, waves=ab_waves,
@@ -955,6 +1059,18 @@ def main() -> None:
             "bs_bloom", bs_bloom_arm, mandatory=mandatory, cores=PEAK_CORES,
             bloom=True, bigseen=bigseen_n, seeds=ab_seeds, waves=ab_waves,
         )
+        # atomicity also on FAILURE (ADVICE r4): if one half landed and
+        # the other failed its subprocess or got budget-skipped mid-pair,
+        # drop the orphan rep so min-of-reps stays rep-symmetric
+        got_plain = len(bs_plain_arm) > n_plain0
+        got_bloom = len(bs_bloom_arm) > n_bloom0
+        if got_plain != got_bloom:
+            (bs_plain_arm if got_plain else bs_bloom_arm).pop()
+            flush(
+                f"bs_pair[{n}]",
+                {"pair_invalid": True, "dropped_half": (
+                    "bs_plain" if got_plain else "bs_bloom")},
+            )
 
     # Rotation in marginal-evidence order: the mandatory core first
     # (queries, one scaling pair, one peak rep, one A/B pair — they ARE
@@ -1123,6 +1239,8 @@ def main() -> None:
         "crawl_bigseen": dict(
             _brief(crawl_bigseen) or {},
             seen=bigseen_n,
+            waves=ab_waves,
+            seeds=ab_seeds,
             reps_sec=[round(r["seconds"], 2) for r in bs_plain_arm],
         )
         if crawl_bigseen
@@ -1130,6 +1248,8 @@ def main() -> None:
         "crawl_bigseen_bloom": dict(
             _brief(crawl_bigseen_bloom) or {},
             seen=bigseen_n,
+            waves=ab_waves,
+            seeds=ab_seeds,
             reps_sec=[round(r["seconds"], 2) for r in bs_bloom_arm],
         )
         if crawl_bigseen_bloom
@@ -1155,7 +1275,19 @@ def main() -> None:
         if peak_reps and crawl_high is not None
         else None,
     }
-    print(json.dumps(out))
+    # Full artifact: file + an early prefixed line (both outside the
+    # driver's 2000-char tail window); the LAST line is the compact
+    # headline the driver machine-parses (VERDICT r4 item 1).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        full_path = None
+    print("FULL_JSON " + json.dumps(out), flush=True)
+    print(_compact_headline(out, full_path), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,42 +1,61 @@
 #!/usr/bin/env python
-"""Validate a bench.py output line against the round-4 'done' criteria
-(VERDICT.md round 3, items 1-4).
+"""Validate a bench.py output against the round-5 'done' criteria
+(VERDICT.md round 4, items 1-5 + ADVICE r4).
 
-Usage: python scripts/check_bench.py <file-with-final-json-line>
-       (picks the LAST line that parses as a JSON object with "metric")
+Usage: python scripts/check_bench.py <file-with-bench-stdout-or-json>
+       (picks the LAST line that parses as a JSON object with "metric"
+        — with the round-5 layout that is the COMPACT headline line;
+        the full artifact is loaded via its "full" pointer or an
+        earlier FULL_JSON line when present)
 
 Checks:
-  1. artifact completeness — parses, metric/value/queries present,
-     queries non-empty, budget block present (the round-3 artifact was
-     rc=124 with zero bytes);
+  1. artifact completeness — final line parses, fits the driver's
+     2000-char tail window (round 4 lost parsed!=null to an overflow),
+     metric/value/queries present, queries non-empty, budget block;
   2. scaling — efficiency present; >= 0.6 flagged pass/fail against the
      round bar (north 0.8), plus the calibrated projection field;
-  3. bloom big-seen A/B — bigseen_bloom.seconds < bigseen.seconds with
-     identical fetch counters, >= intended rep symmetry;
-  4. deep arm — late_over_early ratios present, wall ratio <= 1.2 OR
-     per-fetch ratio <= 1.2 (wave-size drift is reported alongside).
+  3. bloom big-seen A/B — bloom faster than plain, identical non-null
+     fetch counters, >= 2 rep pairs with SYMMETRIC rep counts, both
+     arms at the same recorded wave depth;
+  4. deep arm — late_over_early ratios present, wall ratio <= 1.2 AND
+     per-fetch ratio reported (<= 1.2 is the round-5 target).
 
 Exit 0 = every mandatory check green; 1 otherwise.  Prints one line per
 check so a failed rehearsal says exactly which field to fix.
 """
 
 import json
+import os
 import sys
+
+TAIL_WINDOW = 2000  # driver keeps the last 2000 chars of stdout
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: python scripts/check_bench.py "
+              "<file-with-bench-stdout-or-json>")
+        return 2
     path = sys.argv[1]
-    obj = None
+    compact = None
+    compact_line = ""
+    full = None
     with open(path) as fh:
         for line in fh:
             line = line.strip()
+            if line.startswith("FULL_JSON "):
+                try:
+                    full = json.loads(line[len("FULL_JSON "):])
+                except json.JSONDecodeError:
+                    pass
+                continue
             if line.startswith("{"):
                 try:
                     cand = json.loads(line)
                 except json.JSONDecodeError:
                     continue
                 if isinstance(cand, dict) and "metric" in cand:
-                    obj = cand
+                    compact, compact_line = cand, line
     ok = True
 
     def check(name: str, cond: bool, detail: str = "") -> None:
@@ -44,19 +63,40 @@ def main() -> int:
         ok = ok and cond
         print(f"{'PASS' if cond else 'FAIL'}  {name}  {detail}")
 
-    check("artifact parses", obj is not None)
-    if obj is None:
+    check("artifact parses", compact is not None)
+    if compact is None:
         return 1
+    check(
+        "final line fits driver tail window",
+        len(compact_line) <= TAIL_WINDOW - 100,
+        f"len={len(compact_line)} window={TAIL_WINDOW}",
+    )
+
+    # resolve the full artifact: "full" file pointer, else FULL_JSON
+    # line, else the compact object itself (legacy single-line layout)
+    if full is None and compact.get("full"):
+        for base in (os.path.dirname(os.path.abspath(path)),
+                     os.path.dirname(os.path.dirname(
+                         os.path.abspath(__file__)))):
+            cand_path = os.path.join(base, compact["full"])
+            if os.path.exists(cand_path):
+                with open(cand_path) as fh:
+                    full = json.load(fh)
+                break
+    obj = full if full is not None else compact
 
     q = obj.get("queries") or {}
     check("queries present", len(q) >= 25, f"n={len(q)}")
     check("headline value > 0", (obj.get("value") or 0) > 0,
           f"value={obj.get('value')}")
+    cq = compact.get("queries") or {}
+    check("compact line carries queries", len(cq) >= 25, f"n={len(cq)}")
     b = obj.get("budget") or {}
     check(
         "budget block",
-        "elapsed_sec" in b and "arms_skipped" in b,
-        f"elapsed={b.get('elapsed_sec')}s skipped={b.get('arms_skipped')} "
+        "elapsed_sec" in b and ("arms_skipped" in b or "skipped" in b),
+        f"elapsed={b.get('elapsed_sec')}s "
+        f"skipped={b.get('arms_skipped', b.get('skipped'))} "
         f"failed={list((b.get('arms_failed') or {}))}",
     )
 
@@ -68,29 +108,44 @@ def main() -> int:
             "scaling.efficiency >= 0.6 (north 0.8)",
             eff >= 0.6,
             f"raw={eff} delivered={s.get('efficiency_delivered')} "
-            f"low={s.get('throughput_low')}/s high={s.get('throughput_high')}/s",
+            f"low={s.get('throughput_low')}/s "
+            f"high={s.get('throughput_high')}/s",
         )
         check(
             "calibrated projection present",
-            "projected_efficiency_at_work_multiple" in s,
-            str(s.get("projected_efficiency_at_work_multiple")),
+            "projected_efficiency_at_work_multiple" in s
+            or "projected" in s,
+            str(s.get("projected_efficiency_at_work_multiple",
+                      s.get("projected"))),
         )
 
     bs = obj.get("crawl_bigseen")
     bb = obj.get("crawl_bigseen_bloom")
     check("big-seen A/B both arms", bs is not None and bb is not None)
     if bs and bb:
+        bb_s, bs_s = bb.get("seconds"), bs.get("seconds")
         check(
             "bloom wins big-seen A/B",
-            bb["seconds"] < bs["seconds"],
-            f"bloom={bb['seconds']}s plain={bs['seconds']}s "
-            f"({bs['seconds'] / bb['seconds']:.2f}x) "
-            f"reps={len(bb.get('reps_sec') or [])}v{len(bs.get('reps_sec') or [])}",
+            bb_s is not None and bs_s is not None and bb_s < bs_s,
+            f"bloom={bb_s}s plain={bs_s}s "
+            + (f"({bs_s / bb_s:.2f}x)" if bb_s else "(n/a)"),
+        )
+        # ADVICE r4: symmetry must be ASSERTED, not just printed, and
+        # the fetches comparison must not pass vacuously on None==None
+        n_b, n_p = len(bb.get("reps_sec") or []), len(bs.get("reps_sec") or [])
+        check("A/B rep symmetry >= 2 pairs", n_b == n_p >= 2,
+              f"reps bloom={n_b} plain={n_p}")
+        check(
+            "A/B counters identical (non-null)",
+            bb.get("fetches") is not None
+            and bb.get("fetches") == bs.get("fetches"),
+            f"fetches {bb.get('fetches')} vs {bs.get('fetches')}",
         )
         check(
-            "A/B counters identical",
-            bb.get("fetches") == bs.get("fetches"),
-            f"fetches {bb.get('fetches')} vs {bs.get('fetches')}",
+            "A/B arms at same wave depth",
+            bb.get("waves") is not None and bb.get("waves") == bs.get("waves"),
+            f"waves {bb.get('waves')} vs {bs.get('waves')} "
+            f"seeds {bb.get('seeds')} vs {bs.get('seeds')}",
         )
 
     d = obj.get("crawl_deep")
@@ -103,6 +158,11 @@ def main() -> int:
             "deep flat tail <= 1.2 (wall or per-fetch)",
             (wr is not None and wr <= 1.2) or (fr is not None and fr <= 1.2),
             f"wall_ratio={wr} per_fetch_ratio={fr}",
+        )
+        check(
+            "deep per-fetch ratio <= 1.2 (round-5 target)",
+            fr is not None and fr <= 1.2,
+            f"per_fetch_ratio={fr}",
         )
 
     print("OVERALL", "PASS" if ok else "FAIL")
