@@ -194,6 +194,15 @@ class Options:
     # engages immediately — dormancy must never risk a stale filter.
     # Caller-prebuilt initial_bloom / resumed shards always engage.
     bloom_min_seen_rows: int = 0
+    # plain exact-probe join strategy below the bloom crossover: when
+    # commit metadata bounds the seen table at or under this many rows,
+    # hint a broadcast of the seen side so the visited probe is a
+    # broadcast-hash left join (no exchange of EITHER side — the
+    # shuffle of candidates + seen was the measured growing cost of
+    # dormant-regime waves on deep crawls).  Above the bound the probe
+    # reverts to the shuffled join (and, past bloom_min_seen_rows, to
+    # the bloom-pruned path).  0 disables the hint.
+    broadcast_seen_max_rows: int = 1_000_000
     # probe strategy: "join" broadcasts the shard words and bit-tests
     # in pure JVM expressions (no Python, no candidate shuffle — the
     # fast path while the filter fits a broadcast); "cogroup" keeps

@@ -60,6 +60,7 @@ def admit_candidates(
     bloom_words: DataFrame | None = None,
     bloom_pending: DataFrame | None = None,
     rows_bound: int | None = None,
+    seen_rows: int | None = None,
 ) -> DataFrame:
     """Annotate candidates with canonical columns + admission verdicts.
 
@@ -69,6 +70,7 @@ def admit_candidates(
     Filter-hook invocation count = rows where ``counts_filter``.
     """
     canon = make_canonicalize_udf(opts.url_normalization_flags)
+    pinned = False  # at most ONE pinned copy of the wave candidates
     df = candidates.withColumn("_c", canon(F.col("url"))).select(
         "*",
         F.col("_c.url_norm").alias("url_norm"),
@@ -138,6 +140,7 @@ def admit_candidates(
             df = df.withColumn("_pend", F.lit(False))
         if pin is not None:
             df = pin(df)  # maybe_keys forks df — evaluate the probe once
+            pinned = True
         # THE structural win: the exact check against the big (folded)
         # seen table only runs for rows the bloom flags AND the pending
         # probe didn't already resolve — true re-links to folded URLs
@@ -177,6 +180,22 @@ def admit_candidates(
             .drop("_seen_url", "maybe_seen", "_pend")
         )
     else:
+        # below the bloom crossover the exact join IS the probe — and a
+        # shuffled join exchanges candidates AND the whole seen table
+        # every wave, a cost that grows with crawl depth even when wave
+        # size is flat (the measured deep-arm per-fetch creep, VERDICT
+        # r4 item 3).  When commit metadata bounds the seen side small
+        # enough, broadcast it: no exchange of either side, per-wave
+        # probe cost ~ O(wave + seen-scan).  Catalyst can't pick this
+        # itself because the seen union's size estimate exceeds the
+        # conservative autoBroadcast threshold long before the table is
+        # actually too big to broadcast.
+        if (
+            seen_rows is not None
+            and opts.broadcast_seen_max_rows > 0
+            and seen_rows <= opts.broadcast_seen_max_rows
+        ):
+            seen_side = F.broadcast(seen_side)
         df = df.join(
             seen_side, df["url_norm"] == F.col("_seen_url"), "left"
         ).drop("_seen_url")
@@ -233,7 +252,14 @@ def admit_candidates(
         # UDF, bloom probe and seen join — the wave's most expensive
         # admission work — evaluate twice.  ``pin`` (engine-supplied:
         # persist + wave-end unpersist) materializes the fork point once.
-        if pin is not None:
+        # In bloom mode the candidates are ALREADY pinned at the probe
+        # fork above; this fork's input is just a broadcast-hash join on
+        # top of that cache (matched keys back onto candidates), so both
+        # consumers re-derive it from the one cache — re-running a
+        # broadcast probe is far cheaper than a second full copy of the
+        # wave in executor memory (VERDICT r4 item 4: bloom mode pinned
+        # 2x plain mode's candidate bytes, measured memory pressure).
+        if pin is not None and not pinned:
             df = pin(df)
         mins = (
             df.withColumn("_fa", first_admit_expr)

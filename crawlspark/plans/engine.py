@@ -62,7 +62,8 @@ from crawlspark.sources.seeds import seeds_df, to_seed_rows
 SEEN_DDL = "url_norm string, host string, wave_added int"
 HOST_STATE_DDL = (
     "host string, rules_json string, robots_delay_ms int, "
-    "next_free_ms bigint, last_active_wave int, last_seq bigint"
+    "next_free_ms bigint, last_active_wave int, last_seq bigint, "
+    "last_wave_rows bigint"
 )
 VISIT_LOG_DDL = "url_norm string, host string, wave int, seq bigint, state string"
 FETCH_LOG_DDL = (
@@ -434,6 +435,14 @@ class CrawlEngine:
             seen_parts = [resume_state["seen"]]
             seen_snapshot_wave = resume_state.get("seen_snapshot_wave")
             host_state = resume_state["host_state"]
+            if "last_wave_rows" not in host_state.columns:
+                # checkpoints written before the hot-host scheduling
+                # statistic moved into host_state (round 5): resume
+                # them with an empty stat — first resumed wave runs
+                # unsalted, the stat repopulates at its commit
+                host_state = host_state.withColumn(
+                    "last_wave_rows", F.lit(0).cast("bigint")
+                )
             candidates = resume_state["candidates"]
             cand_rows = resume_state.get("cand_rows")
             if "deferred" in resume_state:
@@ -603,6 +612,7 @@ class CrawlEngine:
                     else None
                 ),
                 rows_bound=cand_rows,
+                seen_rows=seen_rows_total,
             ).repartition(wave_parts).persist()
             _t = _tick("adm_plan", _t)
             admitted = adm.filter(F.col("admitted"))
@@ -728,17 +738,16 @@ class CrawlEngine:
                 # salted-key skew mitigation (SURVEY §4 P11): a hot host
                 # no longer serializes one window task; FIFO order is
                 # preserved exactly (range buckets are monotone in the
-                # ordering tuple).  Hot detection runs ONCE per wave and
-                # feeds both this sequencing and the politeness schedule
-                # below (the schedule's HEAD+GET explode doubles rows
-                # AND fair shares alike, so the same list stays right).
+                # ordering tuple).  Hot detection feeds both this
+                # sequencing and the politeness schedule below (the
+                # schedule's HEAD+GET explode doubles rows AND fair
+                # shares alike, so the same list stays right).
                 # When commit metadata already bounds the wave below
                 # the threshold (the common case for modest waves),
-                # no count job runs and every host takes the plain
-                # window — the salted machinery's sampling +
-                # materialization pass is reserved for hosts that
-                # actually need it.
-                from crawlspark.operators.skew import hot_hosts_over, host_seq
+                # no job runs and every host takes the plain window —
+                # the salted machinery's sampling + materialization
+                # pass is reserved for hosts that actually need it.
+                from crawlspark.operators.skew import host_seq
 
                 upper = (
                     cand_rows + deferred_rows
@@ -773,20 +782,35 @@ class CrawlEngine:
                 thresh = abs_thresh
                 if upper is not None:
                     thresh = min(abs_thresh, max(50_000, upper // par))
-                # count on the CACHE-BACKED admitted rows plus the
-                # checkpoint-backed deferred table, NOT on page_rows:
-                # page_rows' host_state join is uncached, so counting it
-                # would re-run that join once per wave just for a
-                # scheduling statistic.  admitted ∪ deferred has exactly
-                # page_base's host multiset; forcing the adm cache here
-                # only front-loads materialization the wave pays anyway.
-                hot_hosts = hot_hosts_over(
-                    admitted.select("host").unionByName(
-                        deferred.select("host")
-                    ),
-                    max(1, thresh),
-                    upper_bound=upper,
-                )
+                # The hot list comes from the PREVIOUS wave's per-host
+                # batch sizes, recorded in host_state at its commit
+                # (last_wave_rows, the pre-cap window-group size) — a
+                # heuristic the salted path makes safe: results are
+                # bit-identical for ANY host list (tests/test_skew.py),
+                # the list only decides which hosts pay the salted
+                # physical plan.  Round 4's exact detection counted
+                # admitted ∪ deferred mid-wave, which forced the
+                # admission cache to materialize in a separate
+                # near-serial job (~37 s/rep of idle stages in the
+                # round-4 stage profile); this filter+collect scans
+                # only the checkpoint-backed host_state parquet
+                # (≤ n_hosts rows).  Cost of a host turning hot
+                # WITHIN a wave: its window group sorts in one task
+                # for that wave (slow-tail, not wrong), then salts
+                # from the next wave on — the absolute threshold
+                # still bounds that group via the previous wave's
+                # stat, and wave sizes grow ~3x/hop, so a group can
+                # overshoot the OOM guard by only that factor for
+                # one wave.
+                if thresh > 0 and (upper is None or upper >= thresh):
+                    hot_hosts = [
+                        r[0]
+                        for r in host_state.filter(
+                            F.col("last_wave_rows") >= thresh
+                        )
+                        .select("host")
+                        .collect()
+                    ]
                 # url_norm as final tie-break: ord_seq is xxhash64 for
                 # DataFrame seeds, so a 64-bit collision between two
                 # same-host seeds must still order deterministically
@@ -809,7 +833,12 @@ class CrawlEngine:
 
             # politeness budget / hot-host backpressure: cap each host's
             # wave batch; overflow defers to the next wave WITHOUT
-            # re-admission (already counted, already in seen)
+            # re-admission (already counted, already in seen).
+            # page_rows_precap keeps _rn_host for the host_state commit:
+            # max(_rn_host) per host is that host's PRE-CAP window-group
+            # size this wave — the scheduling statistic the next wave's
+            # hot-host detection reads back from the checkpoint.
+            page_rows_precap = page_rows
             if opts.max_urls_per_host_per_wave > 0:
                 cap = opts.max_urls_per_host_per_wave
                 deferred_new = page_rows.filter(F.col("_rn_host") > cap).select(
@@ -1041,8 +1070,17 @@ class CrawlEngine:
             )
 
             active = active_hosts.withColumn("_active", F.lit(True))
-            last_seq_upd = page_rows.groupBy("host").agg(
-                F.max("seq").alias("_new_seq")
+            # one agg, two stats: the dispatched-sequence high-water mark
+            # (post-cap — deferred rows re-sequence next wave) and the
+            # pre-cap window-group size (next wave's hot-host statistic)
+            _cap_n = opts.max_urls_per_host_per_wave
+            last_seq_upd = page_rows_precap.groupBy("host").agg(
+                F.max(
+                    F.when(F.col("_rn_host") <= _cap_n, F.col("seq"))
+                    if _cap_n > 0
+                    else F.col("seq")
+                ).alias("_new_seq"),
+                F.max("_rn_host").alias("_wave_rows"),
             )
             host_state = (
                 host_state.unionByName(
@@ -1051,6 +1089,7 @@ class CrawlEngine:
                         F.lit(None).cast("bigint").alias("next_free_ms"),
                         F.lit(wave).alias("last_active_wave"),
                         F.lit(0).cast("bigint").alias("last_seq"),
+                        F.lit(0).cast("bigint").alias("last_wave_rows"),
                     )
                 )
                 .join(
@@ -1071,6 +1110,12 @@ class CrawlEngine:
                     .otherwise(F.col("last_active_wave"))
                     .alias("last_active_wave"),
                     F.coalesce(F.col("_new_seq"), F.col("last_seq")).alias("last_seq"),
+                    # reset when the host had no page rows this wave: a
+                    # host with zero pending backlog must not stay
+                    # "hot" forever on a stale statistic
+                    F.coalesce(F.col("_wave_rows"), F.lit(0))
+                    .cast("bigint")
+                    .alias("last_wave_rows"),
                 )
             )
             # worker idle TTL (worker.go:57-74): evict hosts idle too long;
@@ -1206,6 +1251,18 @@ class CrawlEngine:
                     flush=True,
                 )
             seen_parts.append(seen_inc)
+            # metadata-only seen-size tracking (never a count() job):
+            # feeds the bloom crossover gate AND the plain-path
+            # broadcast-seen hint in admission
+            _inc_n = (
+                self._store.rows("seen_inc", wave)
+                if self._store is not None
+                else None
+            )
+            if seen_rows_total is not None and _inc_n is not None:
+                seen_rows_total += _inc_n
+            else:
+                seen_rows_total = None
             # increment compaction (Iceberg rewrite analog): collapse the
             # O(waves) union into one snapshot so the next wave's probe
             # plans against a single relation.  Resume-aware: the
@@ -1231,11 +1288,7 @@ class CrawlEngine:
                 # shard capacity.  Per-wave bloom cost in the common
                 # case: zero jobs.
                 bloom_pending_parts.append(seen_inc)
-                inc_n = (
-                    self._store.rows("seen_inc", wave)
-                    if self._store is not None
-                    else None
-                )
+                inc_n = _inc_n
                 if inc_n is None:
                     # no metadata count (non-durable mode) — bound the
                     # pending set by wave count instead of rows
@@ -1273,19 +1326,10 @@ class CrawlEngine:
                         bloom_words_df = bloom_words(bloom_df).persist()
             elif opts.use_bloom_seen:
                 # dormant below the crossover (bloom_min_seen_rows):
-                # track the seen size from commit metadata and engage
-                # with ONE build pass over the full seen union when it
-                # crosses.  An unknown count ends dormancy immediately —
-                # the gate is an optimization, never a correctness knob.
-                inc_n = (
-                    self._store.rows("seen_inc", wave)
-                    if self._store is not None
-                    else None
-                )
-                if seen_rows_total is not None and inc_n is not None:
-                    seen_rows_total += inc_n
-                else:
-                    seen_rows_total = None
+                # the metadata-tracked seen size (above) decides when to
+                # engage with ONE build pass over the full seen union.
+                # An unknown count ends dormancy immediately — the gate
+                # is an optimization, never a correctness knob.
                 if (
                     seen_rows_total is None
                     or seen_rows_total >= opts.bloom_min_seen_rows
