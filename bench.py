@@ -787,10 +787,28 @@ def _compact_headline(out: dict, full_path: str | None) -> str:
     TAIL_LINE_BUDGET chars.  Degrades query precision, then drops
     optional diagnostic sub-blocks, before it would ever overflow."""
     s = out.get("scaling") or {}
-    bs, bb = out.get("crawl_bigseen"), out.get("crawl_bigseen_bloom")
     d = out.get("crawl_deep") or {}
     b = out.get("budget") or {}
     sec = out.get("scaling_secondary") or {}
+
+    def _ab_block(plain_key: str, bloom_key: str):
+        bs, bb = out.get(plain_key), out.get(bloom_key)
+        if not (bs and bb):
+            return None
+        return {
+            "plain_sec": bs.get("seconds"),
+            "bloom_sec": bb.get("seconds"),
+            "seen": bs.get("seen"),
+            "waves": bs.get("waves"),
+            "fetches_equal": (
+                bs.get("fetches") is not None
+                and bs.get("fetches") == bb.get("fetches")
+            ),
+            "reps": [
+                len(bs.get("reps_sec") or []),
+                len(bb.get("reps_sec") or []),
+            ],
+        }
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -812,22 +830,10 @@ def _compact_headline(out: dict, full_path: str | None) -> str:
         }
         if sec
         else None,
-        "bigseen_ab": {
-            "plain_sec": bs.get("seconds"),
-            "bloom_sec": bb.get("seconds"),
-            "seen": bs.get("seen"),
-            "waves": bs.get("waves"),
-            "fetches_equal": (
-                bs.get("fetches") is not None
-                and bs.get("fetches") == bb.get("fetches")
-            ),
-            "reps": [
-                len(bs.get("reps_sec") or []),
-                len(bb.get("reps_sec") or []),
-            ],
-        }
-        if bs and bb
-        else None,
+        "bigseen_ab": _ab_block("crawl_bigseen", "crawl_bigseen_bloom"),
+        "bigseen_ab2": _ab_block(
+            "crawl_bigseen2", "crawl_bigseen2_bloom"
+        ),
         "deep": {
             "wall_ratio": d.get("late_over_early_wall_ratio"),
             "per_fetch_ratio": d.get("late_over_early_per_fetch_ratio"),
@@ -850,7 +856,8 @@ def _compact_headline(out: dict, full_path: str | None) -> str:
         }
         line = json.dumps(compact, separators=(",", ":"))
     for drop in (
-        "scaling_secondary", "projected_key", "budget_skipped", "queries_int"
+        "scaling_secondary", "projected_key", "budget_skipped",
+        "ab_slim", "queries_int",
     ):
         if len(line) <= TAIL_LINE_BUDGET:
             break
@@ -862,6 +869,14 @@ def _compact_headline(out: dict, full_path: str | None) -> str:
             compact["budget"]["skipped"] = len(
                 compact["budget"].get("skipped") or []
             )
+        elif drop == "ab_slim":
+            for key in ("bigseen_ab", "bigseen_ab2"):
+                blk = compact.get(key)
+                if blk:
+                    compact[key] = {
+                        k: blk[k]
+                        for k in ("plain_sec", "bloom_sec", "seen")
+                    }
         else:
             compact["queries"] = {
                 k: int(round(v)) for k, v in compact["queries"].items()
@@ -905,6 +920,10 @@ def main() -> None:
         "bloom": 280.0,
         "bs_plain": 180.0,
         "bs_bloom": 180.0,
+        # 32M pair: plain pays a 2x-seen exchange at half the wave
+        # (~130s prior); bloom's probe cost is ~flat in seen (~90s)
+        "bs2_plain": 150.0,
+        "bs2_bloom": 110.0,
         "deep": 320.0,
     }
     walls: dict[str, list[float]] = {}
@@ -1011,6 +1030,12 @@ def main() -> None:
     # timed wave inside the regime; both arms change identically, so
     # fetch counters stay comparable.
     ab_waves = int(os.environ.get("SPARK_GRAFT_BENCH_AB_WAVES", "2"))
+    # second A/B contrast point (VERDICT r4 item 5): 32M seen / 100k
+    # seeds — seen/wave ~4x the first pair's ratio, prebuilt fixture
+    bigseen2_n = int(
+        os.environ.get("SPARK_GRAFT_BENCH_BIGSEEN2", "32000000")
+    )
+    ab2_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_AB2_SEEDS", "100000"))
 
     low_reps: list[dict] = []
     high_reps: list[dict] = []
@@ -1018,6 +1043,8 @@ def main() -> None:
     bloom_arm: list[dict] = []
     bs_plain_arm: list[dict] = []
     bs_bloom_arm: list[dict] = []
+    bs2_plain_arm: list[dict] = []
+    bs2_bloom_arm: list[dict] = []
     deep_arm: list[dict] = []
 
     def crawl(kind: str, store: list, mandatory: bool = False, **kw):
@@ -1032,17 +1059,25 @@ def main() -> None:
             store.append(res)
         return res
 
-    def crawl_ab_pair(mandatory: bool = False):
+    def _ab_pair(
+        kind_p: str,
+        kind_b: str,
+        store_p: list,
+        store_b: list,
+        seen_n: int,
+        seeds_n: int,
+        mandatory: bool = False,
+    ):
         """One big-seen A/B pair, ATOMIC under the budget: the round-4
         rehearsal ran bs_plain[1] and then budget-skipped bs_bloom[1],
         leaving the A/B with asymmetric rep counts (min-of-2 plain vs
         min-of-1 bloom — a biased inequality).  A pair only starts if
         BOTH halves fit the remaining budget; otherwise both are
         skipped and the comparison stays rep-symmetric."""
-        n = len(bs_plain_arm)
-        pair_est = est("bs_plain", factor=1.1) + est("bs_bloom", factor=1.1)
+        n = len(store_p)
+        pair_est = est(kind_p, factor=1.1) + est(kind_b, factor=1.1)
         if not mandatory and remaining() < pair_est:
-            for kind in ("bs_plain", "bs_bloom"):
+            for kind in (kind_p, kind_b):
                 name = f"{kind}[{n}]"
                 skipped.append(name)
                 flush(
@@ -1050,27 +1085,45 @@ def main() -> None:
                     {"skipped": True, "remaining_sec": round(remaining(), 1)},
                 )
             return
-        n_plain0, n_bloom0 = len(bs_plain_arm), len(bs_bloom_arm)
+        n_plain0, n_bloom0 = len(store_p), len(store_b)
         crawl(
-            "bs_plain", bs_plain_arm, mandatory=mandatory, cores=PEAK_CORES,
-            bigseen=bigseen_n, seeds=ab_seeds, waves=ab_waves,
+            kind_p, store_p, mandatory=mandatory, cores=PEAK_CORES,
+            bigseen=seen_n, seeds=seeds_n, waves=ab_waves,
         )
         crawl(
-            "bs_bloom", bs_bloom_arm, mandatory=mandatory, cores=PEAK_CORES,
-            bloom=True, bigseen=bigseen_n, seeds=ab_seeds, waves=ab_waves,
+            kind_b, store_b, mandatory=mandatory, cores=PEAK_CORES,
+            bloom=True, bigseen=seen_n, seeds=seeds_n, waves=ab_waves,
         )
         # atomicity also on FAILURE (ADVICE r4): if one half landed and
         # the other failed its subprocess or got budget-skipped mid-pair,
         # drop the orphan rep so min-of-reps stays rep-symmetric
-        got_plain = len(bs_plain_arm) > n_plain0
-        got_bloom = len(bs_bloom_arm) > n_bloom0
+        got_plain = len(store_p) > n_plain0
+        got_bloom = len(store_b) > n_bloom0
         if got_plain != got_bloom:
-            (bs_plain_arm if got_plain else bs_bloom_arm).pop()
+            (store_p if got_plain else store_b).pop()
             flush(
-                f"bs_pair[{n}]",
+                f"{kind_p}_pair[{n}]",
                 {"pair_invalid": True, "dropped_half": (
-                    "bs_plain" if got_plain else "bs_bloom")},
+                    kind_p if got_plain else kind_b)},
             )
+
+    def crawl_ab_pair(mandatory: bool = False):
+        _ab_pair(
+            "bs_plain", "bs_bloom", bs_plain_arm, bs_bloom_arm,
+            bigseen_n, ab_seeds, mandatory=mandatory,
+        )
+
+    def crawl_ab2_pair():
+        """Second A/B contrast point: 2x the seen table at half the
+        frontier (seen/wave ratio ~4x the first pair's) — deeper into
+        the regime the sidecar exists for.  Only worth official budget
+        because the fixture is PREBUILT in .bench_cache (the prep is
+        untimed; an uncached 32M build would burn minutes of wall,
+        the round-3 timeout lesson)."""
+        _ab_pair(
+            "bs2_plain", "bs2_bloom", bs2_plain_arm, bs2_bloom_arm,
+            bigseen2_n, ab2_seeds,
+        )
 
     # Rotation in marginal-evidence order: the mandatory core first
     # (queries, one scaling pair, one peak rep, one A/B pair — they ARE
@@ -1101,6 +1154,8 @@ def main() -> None:
         "deep", deep_arm, cores=PEAK_CORES,
         deep=int(os.environ.get("SPARK_GRAFT_BENCH_DEEP", "10")),
     )
+    # 32M/100k A/B pair (one pair; prebuilt fixture, prep untimed)
+    crawl_ab2_pair()
     crawl("peak", peak_reps, cores=PEAK_CORES)
     # cold-start bloom sanity row (overhead vs crawl_peak is the
     # comparison; the win criterion lives in the big-seen pair)
@@ -1125,6 +1180,12 @@ def main() -> None:
     )
     crawl_bigseen_bloom = min(
         bs_bloom_arm, key=lambda r: r["seconds"], default=None
+    )
+    crawl_bigseen2 = min(
+        bs2_plain_arm, key=lambda r: r["seconds"], default=None
+    )
+    crawl_bigseen2_bloom = min(
+        bs2_bloom_arm, key=lambda r: r["seconds"], default=None
     )
     crawl_deep = deep_arm[0] if deep_arm else None
 
@@ -1253,6 +1314,24 @@ def main() -> None:
             reps_sec=[round(r["seconds"], 2) for r in bs_bloom_arm],
         )
         if crawl_bigseen_bloom
+        else None,
+        "crawl_bigseen2": dict(
+            _brief(crawl_bigseen2) or {},
+            seen=bigseen2_n,
+            waves=ab_waves,
+            seeds=ab2_seeds,
+            reps_sec=[round(r["seconds"], 2) for r in bs2_plain_arm],
+        )
+        if crawl_bigseen2
+        else None,
+        "crawl_bigseen2_bloom": dict(
+            _brief(crawl_bigseen2_bloom) or {},
+            seen=bigseen2_n,
+            waves=ab_waves,
+            seeds=ab2_seeds,
+            reps_sec=[round(r["seconds"], 2) for r in bs2_bloom_arm],
+        )
+        if crawl_bigseen2_bloom
         else None,
         "crawl_deep": _deep_brief(crawl_deep),
         "scaling": scaling,

@@ -148,6 +148,31 @@ def main() -> int:
             f"seeds {bb.get('seeds')} vs {bs.get('seeds')}",
         )
 
+    # second contrast pair (32M/100k) — OPTIONAL under budget shed, but
+    # when present it must be a valid winning pair like the first
+    bs2 = obj.get("crawl_bigseen2")
+    bb2 = obj.get("crawl_bigseen2_bloom")
+    if bs2 and bb2:
+        bb2_s, bs2_s = bb2.get("seconds"), bs2.get("seconds")
+        check(
+            "bloom wins 32M A/B",
+            bb2_s is not None and bs2_s is not None and bb2_s < bs2_s,
+            f"bloom={bb2_s}s plain={bs2_s}s seen={bs2.get('seen')}",
+        )
+        n2b, n2p = len(bb2.get("reps_sec") or []), len(
+            bs2.get("reps_sec") or []
+        )
+        check(
+            "32M A/B symmetric + counters identical",
+            n2b == n2p >= 1
+            and bb2.get("fetches") is not None
+            and bb2.get("fetches") == bs2.get("fetches"),
+            f"reps {n2b}v{n2p} fetches {bb2.get('fetches')} vs "
+            f"{bs2.get('fetches')}",
+        )
+    else:
+        print("INFO  32M A/B pair absent (budget-shed ok)")
+
     d = obj.get("crawl_deep")
     check("deep arm present", d is not None)
     if d:

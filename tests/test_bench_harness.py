@@ -65,6 +65,14 @@ def _sample_out() -> dict:
             "seconds": 57.98, "fetches": 811328, "seen": 16000000,
             "waves": 2, "seeds": 200000, "reps_sec": [58.12, 57.98],
         },
+        "crawl_bigseen2": {
+            "seconds": 120.5, "fetches": 405000, "seen": 32000000,
+            "waves": 2, "seeds": 100000, "reps_sec": [120.5],
+        },
+        "crawl_bigseen2_bloom": {
+            "seconds": 66.1, "fetches": 405000, "seen": 32000000,
+            "waves": 2, "seeds": 100000, "reps_sec": [66.1],
+        },
         "crawl_deep": {
             "seconds": 127.89,
             "late_over_early_wall_ratio": 0.619,
@@ -104,6 +112,8 @@ class TestCompactHeadline:
         assert obj["bigseen_ab"]["bloom_sec"] == 57.98
         assert obj["bigseen_ab"]["waves"] == 2
         assert obj["bigseen_ab"]["fetches_equal"] is True
+        assert obj["bigseen_ab2"]["seen"] == 32000000
+        assert obj["bigseen_ab2"]["bloom_sec"] == 66.1
         assert obj["deep"]["per_fetch_ratio"] == 1.15
         assert obj["full"] == "BENCH_FULL.json"
 
