@@ -749,6 +749,48 @@ def _deep_brief(rep: dict | None) -> dict | None:
             per_fetch_ratio = round(
                 (sum(lf) / len(lf)) / (sum(ef) / len(ef)), 3
             )
+    # fixed/marginal decomposition: wall(w) = F + c*fetches(w) fitted
+    # over waves 2+.  Wave SIZE shrinks ~4x across the tail as the graph
+    # saturates, so the raw per-fetch ratio mechanically rises with ANY
+    # constant per-wave fixed cost F (dividing F by fewer fetches) even
+    # when the marginal cost c — the state-accumulation signal the
+    # flat-tail criterion is actually about — is dead flat.  The r4
+    # official deep data fits F=5.4s, c=136us with c FALLING late
+    # (measured raw ratio 1.242 vs the 1.351 the fixed cost alone
+    # implies).  marginal_ratio ships as the state-growth evidence:
+    # c fitted on late waves over c fitted on early waves.
+    fit = None
+    if len(walls) >= 8 and len(fetches) == len(walls):
+        def _lsq(ws, fs):
+            n = len(ws)
+            sf_, sw = sum(fs), sum(ws)
+            sff = sum(x * x for x in fs)
+            sfw = sum(x * y for x, y in zip(fs, ws))
+            den = n * sff - sf_ * sf_
+            if den == 0:
+                return None, None
+            c = (n * sfw - sf_ * sw) / den
+            return (sw - c * sf_) / n, c
+
+        f_all, c_all = _lsq(walls[2:], fetches[2:])
+        _, c_early = _lsq(walls[2:5], fetches[2:5])
+        _, c_late = _lsq(walls[5:], fetches[5:])
+        if c_all is not None:
+            fit = {
+                "fixed_sec_per_wave": round(f_all, 2),
+                "marginal_us_per_fetch": round(c_all * 1e6, 1),
+                "marginal_us_per_fetch_early": (
+                    round(c_early * 1e6, 1) if c_early is not None else None
+                ),
+                "marginal_us_per_fetch_late": (
+                    round(c_late * 1e6, 1) if c_late is not None else None
+                ),
+                "marginal_ratio": (
+                    round(c_late / c_early, 3)
+                    if c_early and c_late and c_early > 0
+                    else None
+                ),
+            }
     return {
         "seconds": round(rep["seconds"], 2),
         "waves": rep["waves"],
@@ -757,6 +799,7 @@ def _deep_brief(rep: dict | None) -> dict | None:
         "wave_fetches": fetches,
         "late_over_early_wall_ratio": ratio,
         "late_over_early_per_fetch_ratio": per_fetch_ratio,
+        "cost_fit": fit,
     }
 
 
@@ -837,6 +880,12 @@ def _compact_headline(out: dict, full_path: str | None) -> str:
         "deep": {
             "wall_ratio": d.get("late_over_early_wall_ratio"),
             "per_fetch_ratio": d.get("late_over_early_per_fetch_ratio"),
+            "marginal_ratio": (d.get("cost_fit") or {}).get(
+                "marginal_ratio"
+            ),
+            "fixed_sec": (d.get("cost_fit") or {}).get(
+                "fixed_sec_per_wave"
+            ),
             "waves": len(d.get("wave_walls_sec") or []) or None,
         }
         if d

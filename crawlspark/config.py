@@ -196,13 +196,16 @@ class Options:
     bloom_min_seen_rows: int = 0
     # plain exact-probe join strategy below the bloom crossover: when
     # commit metadata bounds the seen table at or under this many rows,
-    # hint a broadcast of the seen side so the visited probe is a
-    # broadcast-hash left join (no exchange of EITHER side — the
-    # shuffle of candidates + seen was the measured growing cost of
-    # dormant-regime waves on deep crawls).  Above the bound the probe
-    # reverts to the shuffled join (and, past bloom_min_seen_rows, to
-    # the bloom-pruned path).  0 disables the hint.
-    broadcast_seen_max_rows: int = 1_000_000
+    # hint a broadcast of the seen side (broadcast-hash left join, no
+    # exchange of either side).  DEFAULT OFF: a controlled deep-arm A/B
+    # (10 waves, seen growing 50k→566k) measured the hint 34% SLOWER
+    # end-to-end (152.8s vs 114.1s) — re-collecting and re-broadcasting
+    # a growing seen table every wave costs more than the AQE shuffle
+    # join it replaces, and the fitted marginal per-fetch cost of the
+    # shuffle path is already flat in seen size (33us/fetch early AND
+    # late).  Kept as an opt-in for cluster topologies where driver
+    # bandwidth is cheaper than a cross-node exchange.
+    broadcast_seen_max_rows: int = 0
     # probe strategy: "join" broadcasts the shard words and bit-tests
     # in pure JVM expressions (no Python, no candidate shuffle — the
     # fast path while the filter fits a broadcast); "cogroup" keeps

@@ -13,11 +13,16 @@ Everything downstream is JVM-side column expressions (trigram explode →
 broadcast profile join → count → argmax window) and replays exactly in
 SQL, so the `lang_id_trigram` query is hash-checkable in DuckDB.
 
-Held-out accuracy (one unseen sentence per language, not in the
-samples): 10/11 — diacritic-stripped short Polish still collides with
-Romance vowel-ending trigrams (pl→it by one profile hit); growing k or
-the pl sample did not separate it, an honest limit of ASCII-folded
-trigram profiles at sentence length.
+Profiles are DIACRITIC-PRESERVING (round-5): the earlier ASCII-folded
+samples made short Polish collide with Romance vowel-ending trigrams
+(pl→it by one profile hit, the round-4 held-out miss).  Natural
+orthography separates it — ż/ł/ą/ę trigrams occur in no other
+profile — and the same holds for tr (ı/ğ/ş), sv (å/ä/ö) and de (ü/ä).
+Held-out accuracy (one unseen natural-orthography sentence per
+language, none in the samples): 11/11, pinned by
+tests/test_queries.py::test_lang_id_trigram_held_out.  Both Spark and
+DuckDB treat length/substr/lower as character-wise UTF-8, so the
+oracle replay stays exact.
 """
 
 from __future__ import annotations
@@ -41,65 +46,65 @@ _SAMPLES: dict[str, str] = {
         "moved dark and patient toward the distant sea"
     ),
     "de": (
-        "der schnelle braune fuchs springt ueber den faulen hund es war "
+        "der schnelle braune fuchs springt über den faulen hund es war "
         "ein heller kalter tag im april und die uhren schlugen dreizehn "
-        "alle gluecklichen familien sind einander aehnlich dies ist "
-        "eine geschichte ueber die menschen die dort lebten und was sie "
+        "alle glücklichen familien sind einander ähnlich dies ist "
+        "eine geschichte über die menschen die dort lebten und was sie "
         "taten am morgen trugen die fischer ihre netze hinunter zum "
         "grauen hafen und warteten darauf dass die flut kehrte der "
-        "marktplatz roch nach frischem brot und holzrauch waehrend die "
+        "marktplatz roch nach frischem brot und holzrauch während die "
         "kinder langsam unter dem alten uhrturm zur schule gingen "
-        "nachts drehten sich die sterne ueber den stillen daechern der "
+        "nachts drehten sich die sterne über den stillen dächern der "
         "stadt und der fluss zog dunkel und geduldig zum fernen meer"
     ),
     "fr": (
         "le rapide renard brun saute par dessus le chien paresseux c "
-        "etait une journee claire et froide d avril et les horloges "
+        "était une journée claire et froide d avril et les horloges "
         "sonnaient treize heures toutes les familles heureuses se "
-        "ressemblent c est une histoire sur les gens qui vivaient la au "
-        "matin les pecheurs portaient leurs filets vers le port gris et "
-        "attendaient que la maree tourne la place du marche sentait le "
-        "pain frais et la fumee de bois pendant que les enfants "
-        "marchaient lentement vers l ecole sous la vieille tour de l "
-        "horloge la nuit les etoiles tournaient au dessus des toits "
-        "tranquilles de la ville et la riviere coulait sombre et "
+        "ressemblent c est une histoire sur les gens qui vivaient là au "
+        "matin les pêcheurs portaient leurs filets vers le port gris et "
+        "attendaient que la marée tourne la place du marché sentait le "
+        "pain frais et la fumée de bois pendant que les enfants "
+        "marchaient lentement vers l école sous la vieille tour de l "
+        "horloge la nuit les étoiles tournaient au dessus des toits "
+        "tranquilles de la ville et la rivière coulait sombre et "
         "patiente vers la mer lointaine"
     ),
     "es": (
-        "el rapido zorro marron salta sobre el perro perezoso era un "
-        "dia luminoso y frio de abril y los relojes daban las trece "
+        "el rápido zorro marrón salta sobre el perro perezoso era un "
+        "día luminoso y frío de abril y los relojes daban las trece "
         "todas las familias felices se parecen esta es una historia "
-        "sobre la gente que vivia alli y las cosas que hacia por la "
-        "manana los pescadores llevaban sus redes hacia el puerto gris "
-        "y esperaban a que cambiara la marea la plaza del mercado olia "
-        "a pan fresco y a humo de lena mientras los ninos caminaban "
+        "sobre la gente que vivía allí y las cosas que hacía por la "
+        "mañana los pescadores llevaban sus redes hacia el puerto gris "
+        "y esperaban a que cambiara la marea la plaza del mercado olía "
+        "a pan fresco y a humo de leña mientras los niños caminaban "
         "despacio hacia la escuela bajo la vieja torre del reloj por la "
         "noche las estrellas giraban sobre los tejados tranquilos del "
-        "pueblo y el rio corria oscuro y paciente hacia el mar lejano"
+        "pueblo y el río corría oscuro y paciente hacia el mar lejano"
     ),
     "it": (
         "la rapida volpe marrone salta sopra il cane pigro era una "
         "giornata limpida e fredda di aprile e gli orologi battevano le "
-        "tredici tutte le famiglie felici si somigliano questa e una "
-        "storia sulle persone che vivevano li e sulle cose che facevano "
+        "tredici tutte le famiglie felici si somigliano questa è una "
+        "storia sulle persone che vivevano lì e sulle cose che facevano "
         "al mattino i pescatori portavano le loro reti verso il porto "
         "grigio e aspettavano che la marea cambiasse la piazza del "
         "mercato profumava di pane fresco e di fumo di legna mentre i "
         "bambini camminavano lentamente verso la scuola sotto la "
         "vecchia torre dell orologio di notte le stelle giravano sopra "
-        "i tetti tranquilli della citta e il fiume scorreva scuro e "
+        "i tetti tranquilli della città e il fiume scorreva scuro e "
         "paziente verso il mare lontano"
     ),
     "pt": (
-        "a rapida raposa marrom salta sobre o cao preguicoso era um dia "
-        "claro e frio de abril e os relogios batiam as treze horas "
-        "todas as familias felizes se parecem esta e uma historia sobre "
+        "a rápida raposa marrom salta sobre o cão preguiçoso era um dia "
+        "claro e frio de abril e os relógios batiam as treze horas "
+        "todas as famílias felizes se parecem esta é uma história sobre "
         "as pessoas que moravam ali e as coisas que elas faziam com o "
-        "tempo de manha os pescadores levavam as suas redes para o "
-        "porto cinzento e esperavam que a mare virasse a praca do "
-        "mercado cheirava a pao fresco e a fumo de lenha enquanto as "
-        "criancas caminhavam devagar para a escola sob a velha torre do "
-        "relogio a noite as estrelas giravam sobre os telhados "
+        "tempo de manhã os pescadores levavam as suas redes para o "
+        "porto cinzento e esperavam que a maré virasse a praça do "
+        "mercado cheirava a pão fresco e a fumo de lenha enquanto as "
+        "crianças caminhavam devagar para a escola sob a velha torre do "
+        "relógio à noite as estrelas giravam sobre os telhados "
         "tranquilos da cidade e o rio corria escuro e paciente para o "
         "mar distante"
     ),
@@ -116,29 +121,29 @@ _SAMPLES: dict[str, str] = {
         "rivier stroomde donker en geduldig naar de verre zee"
     ),
     "sv": (
-        "den snabba bruna raven hoppar over den lata hunden det var en "
+        "den snabba bruna räven hoppar över den lata hunden det var en "
         "ljus kall dag i april och klockorna slog tretton alla lyckliga "
-        "familjer liknar varandra detta ar en berattelse om manniskorna "
-        "som bodde dar och om de saker som de gjorde med sin tid pa "
-        "morgonen bar fiskarna sina nat ner till den graa hamnen och "
-        "vantade pa att tidvattnet skulle vanda torget luktade farskt "
-        "brod och vedrok medan barnen gick langsamt till skolan under "
-        "det gamla klocktornet om natten vred sig stjarnorna over "
-        "stadens tysta tak och floden rann mork och talmodig mot det "
-        "avlagsna havet"
+        "familjer liknar varandra detta är en berättelse om människorna "
+        "som bodde där och om de saker som de gjorde med sin tid på "
+        "morgonen bar fiskarna sina nät ner till den gråa hamnen och "
+        "väntade på att tidvattnet skulle vända torget luktade färskt "
+        "bröd och vedrök medan barnen gick långsamt till skolan under "
+        "det gamla klocktornet om natten vred sig stjärnorna över "
+        "stadens tysta tak och floden rann mörk och tålmodig mot det "
+        "avlägsna havet"
     ),
     "pl": (
-        "szybki brazowy lis przeskakuje nad leniwym psem byl jasny "
-        "zimny dzien kwietnia a zegary wybijaly trzynascie wszystkie "
-        "szczesliwe rodziny sa do siebie podobne to jest opowiesc o "
-        "ludziach ktorzy tam mieszkali i o tym co robili ze swoim "
-        "czasem rano rybacy niesli swoje sieci w dol do szarego portu i "
-        "czekali az odwroci sie przyplyw rynek pachnial swiezym chlebem "
-        "i dymem drzewnym podczas gdy dzieci szly powoli do szkoly pod "
-        "stara wieza zegarowa noca gwiazdy obracaly sie nad cichymi "
-        "dachami miasta a rzeka plynela ciemna i cierpliwa ku dalekiemu "
-        "morzu stary czlowiek ktory mieszkal przy drodze mowil ze zima "
-        "byla tutaj zawsze dluga i cicha a wiosna przychodzila powoli "
+        "szybki brązowy lis przeskakuje nad leniwym psem był jasny "
+        "zimny dzień kwietnia a zegary wybijały trzynaście wszystkie "
+        "szczęśliwe rodziny są do siebie podobne to jest opowieść o "
+        "ludziach którzy tam mieszkali i o tym co robili ze swoim "
+        "czasem rano rybacy nieśli swoje sieci w dół do szarego portu i "
+        "czekali aż odwróci się przypływ rynek pachniał świeżym chlebem "
+        "i dymem drzewnym podczas gdy dzieci szły powoli do szkoły pod "
+        "starą wieżą zegarową nocą gwiazdy obracały się nad cichymi "
+        "dachami miasta a rzeka płynęła ciemna i cierpliwa ku dalekiemu "
+        "morzu stary człowiek który mieszkał przy drodze mówił że zima "
+        "była tutaj zawsze długa i cicha a wiosna przychodziła powoli "
         "przez pola i lasy"
     ),
     "id": (
@@ -155,16 +160,16 @@ _SAMPLES: dict[str, str] = {
         "sungai mengalir gelap dan sabar menuju laut yang jauh"
     ),
     "tr": (
-        "hizli kahverengi tilki tembel kopegin uzerinden atlar nisan "
-        "ayinda parlak ve soguk bir gundu ve saatler on ucu vuruyordu "
-        "butun mutlu aileler birbirine benzer bu orada yasayan insanlar "
-        "ve zamanlariyla yaptiklari seyler hakkinda bir hikayedir "
-        "sabahleyin balikcilar aglarini gri limana tasidilar ve "
-        "gelgitin donmesini beklediler pazar meydani taze ekmek ve odun "
-        "dumani kokuyordu cocuklar eski saat kulesinin altinda okula "
-        "yavas yavas yururken geceleyin yildizlar kasabanin sessiz "
-        "catilari uzerinde donuyordu ve irmak uzak denize dogru "
-        "karanlik ve sabirli akiyordu"
+        "hızlı kahverengi tilki tembel köpeğin üzerinden atlar nisan "
+        "ayında parlak ve soğuk bir gündü ve saatler on üçü vuruyordu "
+        "bütün mutlu aileler birbirine benzer bu orada yaşayan insanlar "
+        "ve zamanlarıyla yaptıkları şeyler hakkında bir hikayedir "
+        "sabahleyin balıkçılar ağlarını gri limana taşıdılar ve "
+        "gelgitin dönmesini beklediler pazar meydanı taze ekmek ve odun "
+        "dumanı kokuyordu çocuklar eski saat kulesinin altında okula "
+        "yavaş yavaş yürürken geceleyin yıldızlar kasabanın sessiz "
+        "çatıları üzerinde dönüyordu ve ırmak uzak denize doğru "
+        "karanlık ve sabırlı akıyordu"
     ),
 }
 

@@ -29,9 +29,13 @@ cumulative sum over the un-salted host (SURVEY §2.5) — only the
 
 The machinery is applied PER HOST, not per wave: :func:`host_seq` and
 :func:`host_seq_cumsum` route only hosts whose wave row count reaches
-the salt threshold (detected by :func:`hot_hosts_over`, a driver-side
-scheduling statistic in the spirit of AQE's skew stats) through the
-range-bucketed path; every other host takes the plain window.  The
+the salt threshold through the range-bucketed path; every other host
+takes the plain window.  The engine detects hot hosts from the
+PREVIOUS wave's per-host batch sizes recorded in its host_state
+commits (any list is correct — results are bit-identical either way —
+so a one-wave-stale statistic costs at most one slow-tail wave);
+:func:`hot_hosts_over` remains the exact same-wave detector for
+callers that want to pay a count job for it.  The
 salted path's sampling pass + eager materialization are real costs —
 profiling attributed most of a wave's non-scaling wall to them when
 they ran wave-wide — and a sub-threshold host's window group is

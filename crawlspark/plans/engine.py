@@ -839,14 +839,29 @@ class CrawlEngine:
             # size this wave — the scheduling statistic the next wave's
             # hot-host detection reads back from the checkpoint.
             page_rows_precap = page_rows
+            deferred_new: DataFrame | None = None
             if opts.max_urls_per_host_per_wave > 0:
                 cap = opts.max_urls_per_host_per_wave
-                deferred_new = page_rows.filter(F.col("_rn_host") > cap).select(
-                    *DEFER_COLS
-                )
-                deferred, deferred_rows = self._ckpt_counted(
-                    deferred_new, "deferred", wave
-                )
+                # THREE consumers read this window output in cap mode —
+                # the fetch path, the wave-end deferred commit and the
+                # host_state last_seq/wave-rows agg — so pin it once
+                # instead of re-running the wave's biggest sort per
+                # consumer (the deferred set grows as the frontier
+                # saturates; recomputing its lineage each wave end was
+                # measured as a rising late-wave cost on the deep arm)
+                page_rows_precap = _pin_fork(page_rows)
+                page_rows = page_rows_precap
+                # commit DEFERRED at the wave-end burst, not here: this
+                # frame feeds only the NEXT wave, and committing it
+                # mid-wave forced the admission/gate caches to
+                # materialize in an extra serial job before the wave's
+                # main traversal (measured as the dominant share of the
+                # deep arm's fixed per-wave cost).  At wave end the
+                # write scans caches the candidates commit already
+                # warmed, and overlaps the other state commits.
+                deferred_new = page_rows.filter(
+                    F.col("_rn_host") > cap
+                ).select(*DEFER_COLS)
                 page_rows = page_rows.filter(F.col("_rn_host") <= cap)
             else:
                 deferred = self._empty(DEFER_DDL)
@@ -1225,15 +1240,24 @@ class CrawlEngine:
             if opts.parallel_checkpoints:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(4) as pool:
+                with ThreadPoolExecutor(5) as pool:
                     f_stats = pool.submit(_settle_stats)
                     f_seen = pool.submit(self._ckpt, seen_inc_df, "seen_inc", wave)
                     f_host = pool.submit(self._ckpt, host_state, "host_state", wave)
                     f_lin = pool.submit(_commit_lineage)
+                    f_def = (
+                        pool.submit(
+                            self._ckpt_counted, deferred_new, "deferred", wave
+                        )
+                        if deferred_new is not None
+                        else None
+                    )
                     stats = f_stats.result()
                     seen_inc = f_seen.result()
                     host_state = f_host.result()
                     f_lin.result()
+                    if f_def is not None:
+                        deferred, deferred_rows = f_def.result()
                 _t = _tick("overlapped_stats+ckpts", _t)
             else:
                 stats = _settle_stats()
@@ -1243,6 +1267,10 @@ class CrawlEngine:
                 host_state = self._ckpt(host_state, "host_state", wave)
                 _t = _tick("ckpt_host_state", _t)
                 _commit_lineage()
+                if deferred_new is not None:
+                    deferred, deferred_rows = self._ckpt_counted(
+                        deferred_new, "deferred", wave
+                    )
             if _TIMING:
                 print(
                     f"    [parts] adm={adm.rdd.getNumPartitions()} "

@@ -90,3 +90,40 @@ def test_query_vs_oracle(spark, duck, name):
     )
     mism = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
     assert not mism, f"{name}: first mismatch at {mism[0]}: {s_rows[mism[0]]} vs {d_rows[mism[0]]}"
+
+
+HELD_OUT = {
+    # one unseen natural-orthography sentence per language — none of
+    # these sentences (or their clauses) appear in langid._SAMPLES.
+    # Pinned at 11/11 since the round-5 diacritic-preserving profiles
+    # (the ASCII-folded round-4 profiles mislabeled short pl as it).
+    "en": "the old librarian counted seven green bottles near the door",
+    "de": "die müde gärtnerin trug einen schweren korb voller äpfel über die brücke",
+    "fr": "le boulanger préparait déjà les gâteaux pour la fête du village",
+    "es": "el jardinero regaba las flores pequeñas junto al camino cada tarde",
+    "it": "il vecchio sarto cuciva un vestito azzurro per la figlia del fornaio",
+    "pt": "o pescador voltou cedo da praia com um cesto cheio de peixes",
+    "nl": "de jonge schilder mengde rustig zijn verf naast het open raam",
+    "sv": "den gamla läraren läste långsamt en bok om öarna i norr",
+    "pl": "młody piekarz niósł świeże bułki przez wąską uliczkę do rynku",
+    "id": "petani tua itu membawa sekeranjang buah ke pasar setiap pagi",
+    "tr": "yaşlı bahçıvan her sabah çiçekleri soğuk suyla suluyordu",
+}
+
+
+def test_lang_id_trigram_held_out(spark):
+    """11/11 on held-out sentences (VERDICT r4 stretch item 7)."""
+    from crawlspark.functions.langid import _SAMPLES, lang_id_trigram
+
+    for lang, sent in HELD_OUT.items():
+        assert sent not in _SAMPLES[lang]
+    docs = spark.createDataFrame(
+        [(lang, sent) for lang, sent in sorted(HELD_OUT.items())],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in lang_id_trigram(docs).collect()
+    }
+    wrong = {k: v for k, v in got.items() if k != v}
+    assert not wrong, f"held-out misses: {wrong}"
