@@ -2,11 +2,17 @@
 """Validate a bench.py output against the round-5 'done' criteria
 (VERDICT.md round 4, items 1-5 + ADVICE r4).
 
-Usage: python scripts/check_bench.py <file-with-bench-stdout-or-json>
+Usage: python scripts/check_bench.py <file-with-bench-stdout-or-json> \
+           [query-baseline.json]
        (picks the LAST line that parses as a JSON object with "metric"
         — with the round-5 layout that is the COMPACT headline line;
         the full artifact is loaded via its "full" pointer or an
         earlier FULL_JSON line when present)
+
+The optional second argument (default scripts/query_baseline.json next
+to this script, when it exists) is a {"query": best_seconds} map; any
+query slower than 2x its recorded best FAILS — a plan regression is
+then caught by the validator, not a judge (VERDICT r4 stretch 8).
 
 Checks:
   1. artifact completeness — final line parses, fits the driver's
@@ -198,6 +204,36 @@ def main() -> int:
             f"per_fetch_ratio={fr} marginal_ratio={mr} "
             f"fixed={(d.get('cost_fit') or {}).get('fixed_sec_per_wave')}s/wave",
         )
+
+    # per-query regression guard (VERDICT r4 stretch 8): each query
+    # within 2x its recorded best.  2x because the queries phase runs
+    # unpinned alongside host noise measured at +-15-50%; a genuine
+    # plan regression (lost pushdown, new shuffle, UDF fallback) is
+    # typically 3-10x.
+    base_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "query_baseline.json",
+        )
+    )
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh)
+        slow = {
+            k: (round(v, 2), baseline[k])
+            for k, v in q.items()
+            if k in baseline and baseline[k] > 0 and v > 2 * baseline[k]
+        }
+        check(
+            "per-query within 2x recorded best",
+            not slow,
+            f"regressions={slow}" if slow else f"n_checked="
+            f"{len(set(q) & set(baseline))}",
+        )
+    else:
+        print("INFO  no query baseline file (skipping per-query guard)")
 
     print("OVERALL", "PASS" if ok else "FAIL")
     return 0 if ok else 1

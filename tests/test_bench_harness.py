@@ -203,6 +203,38 @@ class TestCheckBench:
         assert rc == 1
         assert "FAIL  A/B arms at same wave depth" in report
 
+    def test_query_regression_guard(self, tmp_path):
+        """VERDICT r4 stretch 8: an injected 2x slowdown on one query
+        fails the validator when a baseline exists."""
+        bench = _load_bench()
+        out = _sample_out()
+        line = bench._compact_headline(out, None)
+        text = "FULL_JSON " + json.dumps(out) + "\n" + line + "\n"
+        stdout = tmp_path / "stdout.txt"
+        stdout.write_text(text)
+        base = tmp_path / "baseline.json"
+
+        def run(baseline: dict) -> tuple[int, str]:
+            base.write_text(json.dumps(baseline))
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "check_bench.py"),
+                 str(stdout), str(base)],
+                capture_output=True, text=True,
+            )
+            return proc.returncode, proc.stdout
+
+        # within 2x: passes
+        rc, rep = run({k: 123.456789 for k in QUERY_NAMES})
+        assert "PASS  per-query within 2x recorded best" in rep
+        assert rc == 0, rep
+        # one query's recorded best is well under half its time: fails
+        rc, rep = run(dict({k: 123.456789 for k in QUERY_NAMES},
+                           dedup_exact=50.0))
+        assert rc == 1
+        assert "FAIL  per-query within 2x recorded best" in rep
+        assert "dedup_exact" in rep
+
     def test_oversize_final_line_fails(self, tmp_path):
         out = _sample_out()
         # legacy layout: the whole artifact as the last line (what
