@@ -89,9 +89,12 @@ def _sample_out() -> dict:
 def _run_check(stdout_text: str, tmp_path) -> tuple[int, str]:
     p = tmp_path / "stdout.txt"
     p.write_text(stdout_text)
+    # explicit (absent) baseline path: these fixtures use synthetic
+    # query times, which must not be compared against the repo's real
+    # scripts/query_baseline.json (the guard has its own test below)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "check_bench.py"),
-         str(p)],
+         str(p), str(tmp_path / "no_baseline.json")],
         capture_output=True, text=True,
     )
     return proc.returncode, proc.stdout
