@@ -226,3 +226,45 @@ def test_engine_parity_salted_vs_plain(spark):
     assert log_plain == log_salt
     assert sched_plain == sched_salt
     assert vars(c_plain) == vars(c_salt)
+
+
+def test_hot_stat_populates_host_state(spark):
+    """The scheduling statistic behind hot-host detection must actually
+    POPULATE: detection reads host_state.last_wave_rows (the previous
+    wave's PRE-CAP per-host batch size), and since any host list is
+    bit-identical-correct, a silently-empty statistic would pass every
+    parity test while quietly disabling the salted path.  Pin that (a)
+    active hosts record positive last_wave_rows, (b) with a per-host
+    wave cap the stat records the PRE-cap group size (>= dispatched),
+    and (c) a host whose final-wave batch exceeded the cap records a
+    stat above the cap (its overflow deferred)."""
+    from crawlspark.config import Options
+    from crawlspark.fixtures import fixture_pages_df
+    from crawlspark.plans.engine import CrawlEngine
+    from crawlspark.sources.pages import PagesSource
+
+    pages = PagesSource(fixture_pages_df(spark), versioned=False)
+    opts = Options(
+        crawl_delay_ms=100, same_host_only=False, salt_hot_hosts=True,
+        salt_threshold_rows=1, max_urls_per_host_per_wave=1,
+        max_waves=2,
+    )
+    res = CrawlEngine(spark, pages, opts).run(
+        ["http://hosta/page1.html", "http://hostb/page1.html"]
+    )
+    stats = {
+        r["host"]: r["last_wave_rows"]
+        for r in res.host_state.collect()
+    }
+    assert stats, "host_state empty"
+    # dispatched counts of the FINAL wave (cap=1 → at most 1 per host)
+    last_wave = max(r["wave"] for r in res.fetch_log.collect())
+    dispatched = {}
+    for r in res.fetch_log.collect():
+        if r["wave"] == last_wave and r["fetch_rank"] == 2:
+            dispatched[r["host"]] = dispatched.get(r["host"], 0) + 1
+    for host, n in dispatched.items():
+        assert stats.get(host, 0) >= n, (host, n, stats.get(host))
+    # with cap=1 and a multi-page graph, some host must have had a
+    # pre-cap batch above the cap in its last active wave
+    assert any(v > 1 for v in stats.values()), stats
