@@ -78,3 +78,41 @@ def test_per_partition_lineage_metrics(spark, fixture_pages, tmp_path):
         r["passed"] for r in rows if r["stage"] == "fetch"
     )
     assert total_visits == 3
+
+
+def test_resume_from_pre_round5_host_state(spark, fixture_pages, tmp_path):
+    """Checkpoints written before host_state carried the hot-host
+    scheduling statistic (last_wave_rows) must still resume: the engine
+    shims the missing column to 0 and the first resumed wave runs
+    unsalted, repopulating the stat at its commit."""
+    import glob
+    import os
+
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    full = CrawlEngine(
+        spark, fixture_pages, Options(crawl_delay_ms=100)
+    ).run(seeds)
+
+    ckdir = str(tmp_path / "ck")
+    CrawlEngine(
+        spark, fixture_pages,
+        Options(crawl_delay_ms=100, checkpoint_dir=ckdir, max_waves=1),
+    ).run(seeds)
+
+    # rewrite the committed host_state WITHOUT the round-5 column —
+    # the on-disk shape a pre-round-5 checkpoint has
+    [hs_dir] = glob.glob(os.path.join(ckdir, "wave=0", "host_state"))
+    legacy = spark.read.parquet(hs_dir).drop("last_wave_rows")
+    assert "last_wave_rows" not in legacy.columns
+    tmp_out = str(tmp_path / "legacy_hs")
+    legacy.write.mode("overwrite").parquet(tmp_out)
+    spark.read.parquet(tmp_out).write.mode("overwrite").parquet(hs_dir)
+
+    resumed = CrawlEngine(
+        spark, fixture_pages,
+        Options(crawl_delay_ms=100, checkpoint_dir=ckdir),
+    ).resume(seeds)
+    assert resumed.counters.visit == full.counters.visit
+    assert _seen_set(resumed) == _seen_set(full)
+    # the resumed run's commits repopulate the statistic
+    assert "last_wave_rows" in resumed.host_state.columns
