@@ -934,6 +934,25 @@ def _compact_headline(out: dict, full_path: str | None) -> str:
     return line
 
 
+def _sweep_stale_ck_dirs() -> None:
+    """Remove /tmp/crawlspark_bench_ck_<pid> dirs whose owning process
+    is gone: a subprocess-timeout kill skips the rep's own cleanup, and
+    the leftovers would otherwise accumulate across a long rotation.
+    Live PIDs are left alone, so an overlapping bench stays safe."""
+    import glob
+
+    for d in glob.glob("/tmp/crawlspark_bench_ck_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[-1])
+            os.kill(pid, 0)  # raises if the process is gone
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
 def main() -> None:
     if "--crawl-rep" in sys.argv:
         global BENCH_BLOOM, BENCH_BIGSEEN, BENCH_DEEP
@@ -949,6 +968,7 @@ def main() -> None:
         print("QUERIES_JSON " + json.dumps(_queries_phase()), flush=True)
         return
 
+    _sweep_stale_ck_dirs()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     t_start = time.monotonic()
 
