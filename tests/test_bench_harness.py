@@ -180,7 +180,7 @@ class TestCheckBench:
             "FULL_JSON " + json.dumps(out) + "\n" + line + "\n", tmp_path
         )
         assert rc == 1
-        assert "FAIL  A/B rep symmetry" in report
+        assert "FAIL  16M A/B rep symmetry" in report
 
     def test_null_fetches_fail_not_vacuous(self, tmp_path):
         """ADVICE r4: None == None must not pass the counters check."""
@@ -193,7 +193,7 @@ class TestCheckBench:
             "FULL_JSON " + json.dumps(out) + "\n" + line + "\n", tmp_path
         )
         assert rc == 1
-        assert "FAIL  A/B counters identical" in report
+        assert "FAIL  16M A/B counters identical" in report
 
     def test_wave_depth_mismatch_fails(self, tmp_path):
         bench = _load_bench()
@@ -204,7 +204,7 @@ class TestCheckBench:
             "FULL_JSON " + json.dumps(out) + "\n" + line + "\n", tmp_path
         )
         assert rc == 1
-        assert "FAIL  A/B arms at same wave depth" in report
+        assert "FAIL  16M A/B arms at same wave depth" in report
 
     def test_query_regression_guard(self, tmp_path):
         """VERDICT r4 stretch 8: an injected 2x slowdown on one query
@@ -248,3 +248,29 @@ class TestCheckBench:
         rc, report = _run_check(big_line + "\n", tmp_path)
         assert rc == 1
         assert "FAIL  final line fits driver tail window" in report
+
+    def test_crossover_pair_semantics(self, tmp_path):
+        """The WIN criterion binds on the deepest-regime pair present:
+        a 16M tie/loss with a decisive 32M win passes (the round-5
+        engine moved the crossover up); a 16M loss WITHOUT a 32M pair
+        fails (criterion falls back)."""
+        bench = _load_bench()
+        out = _sample_out()
+        out["crawl_bigseen"]["seconds"] = 50.0   # plain ahead at 16M
+        out["crawl_bigseen_bloom"]["seconds"] = 51.0
+        line = bench._compact_headline(out, None)
+        rc, report = _run_check(
+            "FULL_JSON " + json.dumps(out) + "\n" + line + "\n", tmp_path
+        )
+        assert rc == 0, report
+        assert "INFO  16M A/B margin" in report
+        assert "PASS  bloom wins 32M A/B" in report
+        # without the 32M pair the 16M result becomes fatal
+        out["crawl_bigseen2"] = None
+        out["crawl_bigseen2_bloom"] = None
+        line = bench._compact_headline(out, None)
+        rc, report = _run_check(
+            "FULL_JSON " + json.dumps(out) + "\n" + line + "\n", tmp_path
+        )
+        assert rc == 1
+        assert "FAIL  bloom wins 16M A/B" in report
