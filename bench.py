@@ -257,6 +257,11 @@ def _session(cores: int, shuffle: int):
         # experiment knob: AQE's per-stage re-planning is serial driver
         # latency; the engine pins its own partitioning everywhere
         extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("SPARK_GRAFT_EVENTLOG_DIR"):
+        # profiling knob: event log for job-level latency attribution
+        os.makedirs(os.environ["SPARK_GRAFT_EVENTLOG_DIR"], exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = os.environ["SPARK_GRAFT_EVENTLOG_DIR"]
     return get_spark(
         app_name=f"crawlspark-bench-{cores}",
         master=f"local[{cores}]",
