@@ -188,12 +188,21 @@ class Options:
     # DORMANT (no build, no probe, zero jobs — the exact join alone is
     # cheaper than any pre-filter there) and engages with ONE build
     # pass over the full seen set when it crosses.  0 = engage at run
-    # start (small-fixture tests exercise the bloom path directly).
+    # start (small-fixture tests exercise the bloom path directly);
+    # -1 (the DEFAULT) = derive the threshold from the measured
+    # crossover as a seen/wave RATIO: engage once the metadata-tracked
+    # seen set reaches bloom_engage_seen_per_wave_ratio × the current
+    # wave's candidate bound.  The official A/B record behind the
+    # ratio (BENCH_r05/BASELINE.md): at 16M seen vs a 200k-row wave
+    # (80×) bloom is a tie-to-loss across sessions; at 32M vs 100k
+    # (320×) it wins decisively (1.94× official) — so the default
+    # engages at 160×, between the measured tie and the measured win.
     # The threshold only acts when the engine can know the seen row
     # count from commit metadata (durable store); otherwise the bloom
     # engages immediately — dormancy must never risk a stale filter.
     # Caller-prebuilt initial_bloom / resumed shards always engage.
-    bloom_min_seen_rows: int = 0
+    bloom_min_seen_rows: int = -1
+    bloom_engage_seen_per_wave_ratio: int = 160
     # plain exact-probe join strategy below the bloom crossover: when
     # commit metadata bounds the seen table at or under this many rows,
     # hint a broadcast of the seen side (broadcast-hash left join, no

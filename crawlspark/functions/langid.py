@@ -204,9 +204,12 @@ def lang_id_trigram(
     # inside the transform lambda re-evaluates it per array element —
     # O(len²) character copying per document (measured 41s → ~1s at
     # sf0.1)
+    # fan the single-split scan out BEFORE the explode: the trigram
+    # Generate + broadcast-join probe is per-character CPU work that
+    # otherwise runs in one scan task (guide §2.5/§6)
     lowered = docs.select(
         "doc_id", F.lower(F.col(text_col)).alias("_t")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     t = F.col("_t")
     # guard: sequence(0, -1) would DESCEND in Spark; short texts get an
     # empty index array instead

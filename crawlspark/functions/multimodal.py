@@ -306,6 +306,10 @@ def media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distributed media synthesis: encode REAL blobs per id row via
     mapInPandas (bytes are born on executors, never the driver)."""
     src = ids.select(F.col(id_col).cast("bigint").alias("media_id"))
+    # fan the (narrow) id rows across the executor parallelism: blob
+    # synthesis + the downstream decode kernels are pure per-row CPU,
+    # and a single-split parquet scan would otherwise run them serially
+    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism)
 
     def gen(batches):
         import pandas as pd

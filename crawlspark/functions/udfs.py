@@ -133,12 +133,17 @@ def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
     return out
 
 
+@lru_cache(maxsize=16)
 def make_canonicalize_udf(flags: NF):
     """(url) -> struct(url_norm, host, path, is_robots, is_abs_http).
 
     The single most correctness-critical scalar function (reference:
     urlcontext.go:229-248); one Arrow pass computes every URL-derived
     column the admission pipeline needs.
+
+    Cached per flag set: admission re-enters once per WAVE, and every
+    uncached call builds (and later pickles/ships) a fresh pandas UDF
+    object — pure per-wave driver latency for an identical function.
     """
     flags_value = int(flags)
 

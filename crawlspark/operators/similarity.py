@@ -33,6 +33,120 @@ def _dot(a, b):
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow single-split scan across the executor
+    parallelism before per-row vector arithmetic (guide §2.5/§6)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _srp_bucket_from_q(q_col, planes: int):
+    """SRP bucket id as a column over an ALREADY-quantized vector
+    column — same arithmetic as :func:`srp_bucket` (plane p's ±1 sign
+    for dim i is bit (16+p) of the Knuth multiplicative hash of i),
+    but the quantize transform is evaluated once per row instead of
+    once per plane."""
+    bucket = None
+    for p in range(planes):
+        shift = 1 << (16 + p)
+        proj = F.aggregate(
+            F.zip_with(
+                q_col,
+                F.sequence(F.lit(0), F.size(q_col) - 1),
+                lambda x, i: F.when(
+                    ((i.cast("bigint") * 2654435761) / shift).cast("bigint") % 2 == 0,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def _int64_n2_bound(t2_e4: int) -> int:
+    """Largest quantized squared-norm for which the exact comparison
+    dot²·10⁴ vs t²·na²·nb² provably fits int64 (|dot| ≤ max n2)."""
+    return min(
+        int((2**63 / 1e4) ** 0.5), int((2**63 / max(1, t2_e4)) ** 0.5)
+    )
+
+
+def _block_matmul_pairs(
+    q: DataFrame, t2_e4: int, num_blocks: int, key_cols: list[str]
+) -> DataFrame:
+    """All-pairs near-dup test WITHIN each ``key_cols`` group (the whole
+    corpus when empty; an LSH bucket for the bucketed path) via NumPy
+    int64 block matmul — one matrix product per (key, block_a, block_b)
+    group instead of an interpreted 64-element zip_with+aggregate per
+    pair.  Exactness: e3-quantized int64 end-to-end with an object-dtype
+    fallback when quantized norms could overflow the int64 comparison.
+
+    ``q`` columns: ``key_cols + [vec_id, q, n2]``.  Each pair meets in
+    exactly one group — a row sides "a" for partner blocks ≥ its own and
+    "b" for partner blocks ≤ its own, and diagonal groups restrict to
+    id order — so output pairs are unique with a_id < b_id."""
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    q = q.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int")
+    )
+    a_rows = q.select(
+        *key_cols,
+        F.col("blk").alias("ka"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("kb"),
+        F.lit(0).alias("side"),
+        "vec_id", "q", "n2",
+    )
+    b_rows = q.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ka"),
+        F.col("blk").alias("kb"),
+        F.lit(1).alias("side"),
+        "vec_id", "q", "n2",
+    )
+    both = a_rows.unionByName(b_rows)
+    n2_bound = _int64_n2_bound(t2_e4)
+
+    def matmul(key, pdf):
+        # the last two key elements are (ka, kb); any leading elements
+        # are the caller's grouping (e.g. the SRP bucket)
+        asub = pdf[pdf["side"] == 0]
+        bsub = pdf[pdf["side"] == 1]
+        if asub.empty or bsub.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "dot": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "dot": "int64"}
+            )
+        A = np.stack(asub["q"].to_numpy()).astype(np.int64)
+        Bm = np.stack(bsub["q"].to_numpy()).astype(np.int64)
+        na2 = asub["n2"].to_numpy(dtype=np.int64)
+        nb2 = bsub["n2"].to_numpy(dtype=np.int64)
+        exact = max(int(na2.max()), int(nb2.max())) > n2_bound
+        if exact:  # arbitrary-precision path: correctness at any scale
+            A, Bm = A.astype(object), Bm.astype(object)
+            na2, nb2 = na2.astype(object), nb2.astype(object)
+        D = A @ Bm.T
+        ok = (D > 0) & (D * D * 10000 >= t2_e4 * np.outer(na2, nb2))
+        ai = asub["vec_id"].to_numpy(dtype=np.int64)
+        bi = bsub["vec_id"].to_numpy(dtype=np.int64)
+        ii, jj = np.nonzero(ok)
+        x, y, d = ai[ii], bi[jj], D[ii, jj].astype(np.int64)
+        keep = x != y
+        if key[-2] == key[-1]:  # diagonal: both sides are the same rows
+            keep = x < y
+        x, y, d = x[keep], y[keep], d[keep]
+        return pd.DataFrame(
+            {"a_id": np.minimum(x, y), "b_id": np.maximum(x, y), "dot": d}
+        )
+
+    return both.groupBy(*key_cols, "ka", "kb").applyInPandas(
+        matmul, "a_id bigint, b_id bigint, dot bigint"
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query: DataFrame, k: int = 20, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -53,27 +167,14 @@ def srp_bucket(emb: DataFrame, planes: int = 8, vec_col: str = "embedding") -> D
     dimension index hash — portable arithmetic, no RNG state.
     Output: vec_id, bucket (int).
     """
-    qv = _quantized(F.col(vec_col))
-    bucket = None
-    for p in range(planes):
-        # ±1 sign of dimension i on plane p: bit (16+p) of the Knuth
-        # multiplicative hash of i — fixed, engine-independent
-        shift = 1 << (16 + p)
-        proj = F.aggregate(
-            F.zip_with(
-                qv,
-                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, i: F.when(
-                    ((i.cast("bigint") * 2654435761) / shift).cast("bigint") % 2 == 0,
-                    x,
-                ).otherwise(-x),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+    # quantize once per row, derive every plane's projection from the
+    # materialized q array (the per-plane form re-ran the quantize
+    # transform `planes` times per row)
+    return emb.select(
+        "vec_id", _quantized(F.col(vec_col)).alias("_q")
+    ).select(
+        "vec_id", _srp_bucket_from_q(F.col("_q"), planes).alias("bucket")
+    )
 
 
 def cosine_near_dup(
@@ -143,73 +244,11 @@ def cosine_near_dup_block(
     :func:`cosine_near_dup_lsh` restricts pairs to SRP buckets; this
     operator is the exact verifier/re-ranker at corpus-sample scale.
     """
-    import numpy as np
-    import pandas as pd
-
-    B = num_blocks
     t2_e4 = threshold_e2 * threshold_e2
-    q = (
-        emb.select("vec_id", _quantized(F.col(vec_col)).alias("q"))
-        .withColumn("n2", _dot(F.col("q"), F.col("q")))
-        .withColumn(
-            "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int")
-        )
-    )
-    a_rows = q.select(
-        F.col("blk").alias("ka"),
-        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("kb"),
-        F.lit(0).alias("side"),
-        "vec_id", "q", "n2",
-    )
-    b_rows = q.select(
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ka"),
-        F.col("blk").alias("kb"),
-        F.lit(1).alias("side"),
-        "vec_id", "q", "n2",
-    )
-    # a pair (x,y) meets in exactly one group: (blk(x), blk(y)) sorted —
-    # x on the a-side iff its block is the smaller key, so no pair is
-    # ever produced twice and diagonal groups restrict to id order
-    both = a_rows.unionByName(b_rows)
-
-    # int64 safety bound for the exact comparison (see docstring):
-    # |dot| ≤ max(n2) and dot²·10⁴ plus t²·na²·nb² must stay < 2⁶³
-    n2_bound = min(
-        int((2**63 / 1e4) ** 0.5), int((2**63 / max(1, t2_e4)) ** 0.5)
-    )
-
-    def matmul(key, pdf):
-        asub = pdf[pdf["side"] == 0]
-        bsub = pdf[pdf["side"] == 1]
-        if asub.empty or bsub.empty:
-            return pd.DataFrame({"a_id": [], "b_id": [], "dot": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "dot": "int64"}
-            )
-        A = np.stack(asub["q"].to_numpy()).astype(np.int64)
-        Bm = np.stack(bsub["q"].to_numpy()).astype(np.int64)
-        na2 = asub["n2"].to_numpy(dtype=np.int64)
-        nb2 = bsub["n2"].to_numpy(dtype=np.int64)
-        exact = max(int(na2.max()), int(nb2.max())) > n2_bound
-        if exact:  # arbitrary-precision path: correctness at any scale
-            A, Bm = A.astype(object), Bm.astype(object)
-            na2, nb2 = na2.astype(object), nb2.astype(object)
-        D = A @ Bm.T
-        ok = (D > 0) & (D * D * 10000 >= t2_e4 * np.outer(na2, nb2))
-        ai = asub["vec_id"].to_numpy(dtype=np.int64)
-        bi = bsub["vec_id"].to_numpy(dtype=np.int64)
-        ii, jj = np.nonzero(ok)
-        x, y, d = ai[ii], bi[jj], D[ii, jj].astype(np.int64)
-        keep = x != y
-        if key[0] == key[1]:  # diagonal: both sides are the same rows
-            keep = x < y
-        x, y, d = x[keep], y[keep], d[keep]
-        return pd.DataFrame(
-            {"a_id": np.minimum(x, y), "b_id": np.maximum(x, y), "dot": d}
-        )
-
-    return both.groupBy("ka", "kb").applyInPandas(
-        matmul, "a_id bigint, b_id bigint, dot bigint"
-    )
+    q = _fan_out(emb.select("vec_id", vec_col)).select(
+        "vec_id", _quantized(F.col(vec_col)).alias("q")
+    ).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    return _block_matmul_pairs(q, t2_e4, num_blocks, key_cols=[])
 
 
 def cosine_near_dup_lsh(
@@ -233,33 +272,25 @@ def cosine_near_dup_lsh(
     :func:`cosine_near_dup_block`, whose kernel detects the bound and
     switches to arbitrary-precision arithmetic.
     """
-    buckets = srp_bucket(emb, planes, vec_col)
-    q = (
-        emb.join(buckets, "vec_id")
-        .select("vec_id", "bucket", _quantized(F.col(vec_col)).alias("q"))
-        .withColumn("n2", _dot(F.col("q"), F.col("q")))
-    )
-    a = q.select(
-        "bucket", F.col("vec_id").alias("a_id"), F.col("q").alias("_qa"),
-        F.col("n2").alias("_na2"),
-    )
-    b = q.select(
-        "bucket", F.col("vec_id").alias("b_id"), F.col("q").alias("_qb"),
-        F.col("n2").alias("_nb2"),
-    )
+    # bucket computed INLINE from the quantized vector (the join-back
+    # on vec_id scanned the table twice and shuffled it for nothing),
+    # then all-pairs WITHIN each bucket via the same NumPy int64 block
+    # matmul as :func:`cosine_near_dup_block` — the bucket join's old
+    # SortMergeJoin evaluated the interpreted 64-element
+    # zip_with+aggregate dot product 4x per candidate pair (join
+    # condition 3x + final projection), ~10^9 lambda evaluations at a
+    # 20k-vector corpus.  Sub-blocking within the bucket keeps any one
+    # task's pair matrix bounded regardless of bucket skew.  The matmul
+    # kernel also upgrades the overflow contract: norms past the int64
+    # bound take the arbitrary-precision path instead of wrapping.
     t2_e4 = threshold_e2 * threshold_e2
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", _dot(F.col("_qa"), F.col("_qb")))
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * F.lit(10000)
-                >= F.lit(t2_e4) * F.col("_na2") * F.col("_nb2")
-            )
-        )
-        .select("a_id", "b_id", "dot")
+    q = _fan_out(emb.select("vec_id", vec_col)).select(
+        "vec_id", _quantized(F.col(vec_col)).alias("q")
+    ).select(
+        "vec_id", "q", _srp_bucket_from_q(F.col("q"), planes).alias("bucket")
+    ).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    return _block_matmul_pairs(
+        q, t2_e4, num_blocks=8, key_cols=["bucket"]
     )
 
 
@@ -268,13 +299,15 @@ def bucketed_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN: restrict brute force to the probe's SRP bucket."""
-    buckets = srp_bucket(emb, planes, vec_col)
+    # bucket computed inline (the join-back on vec_id scanned emb twice
+    # and paid a join for a value derivable from the row itself)
     qb = srp_bucket(
         query.select(F.lit(-1).alias("vec_id"), F.col("q").alias(vec_col)),
         planes,
         vec_col,
     ).select(F.col("bucket").alias("_qb"))
-    cands = emb.join(buckets, "vec_id").join(
-        F.broadcast(qb), F.col("bucket") == F.col("_qb")
-    )
+    cands = _fan_out(emb).withColumn(
+        "bucket",
+        _srp_bucket_from_q(_quantized(F.col(vec_col)), planes),
+    ).join(F.broadcast(qb), F.col("bucket") == F.col("_qb"))
     return brute_force_topk(cands, query, k, vec_col)

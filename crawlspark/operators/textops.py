@@ -34,17 +34,34 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the executor parallelism before
+    CPU-heavy per-row work (guide §2.5/§6: a small parquet input arrives
+    as ONE split, so shingling/hashing would run on a single core no
+    matter the cluster size; the rows are tiny, the shuffle is cheap)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles as a column expression (lowercased)."""
+    """Word n-gram shingles as a column expression (lowercased).
+
+    The split array is bound to a lambda variable ONCE per row via a
+    single-element transform: referencing ``split(...)`` directly inside
+    the per-shingle lambda re-evaluates the split per array element —
+    O(words²·chars) character copying per document (the same trap
+    functions/langid.py documents for lower(); measured 4-8x on the
+    shingle family at sf1.0)."""
     return F.expr(
         f"""
-        CASE WHEN size(split(lower({text_col}), ' ')) >= {n}
-        THEN transform(
-            sequence(0, size(split(lower({text_col}), ' ')) - {n}),
-            i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n}))
-        )
-        ELSE array()
-        END
+        flatten(transform(array(split(lower({text_col}), ' ')), ws ->
+            CASE WHEN size(ws) >= {n}
+            THEN transform(
+                sequence(0, size(ws) - {n}),
+                i -> concat_ws(' ', slice(ws, i + 1, {n}))
+            )
+            ELSE array()
+            END
+        ))
         """
     )
 
@@ -58,7 +75,7 @@ def minhash_signatures(
     enough and — unlike xxhash — identical across engines, so the
     DuckDB oracle can replay it).  Output: doc_id, sig_0..sig_{k-1}.
     """
-    sh = docs.select(
+    sh = _fan_out(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
     )
     aggs = [
@@ -124,7 +141,7 @@ def ngram_jaccard(
     if pairs is None:
         pairs = lsh_candidate_pairs(docs, text_col).select("a_id", "b_id").distinct()
     if sh is None:
-        sh = docs.select(
+        sh = _fan_out(docs.select("doc_id", text_col)).select(
             "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
         ).distinct()
     a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
@@ -174,7 +191,7 @@ def dedup_pipeline(
     the caller owns unpersisting via the returned plan's sources.  At
     100 TB the equivalent is materializing the signature table once.
     """
-    sh_all = docs.select(
+    sh_all = _fan_out(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
     )
     if persist:
@@ -209,7 +226,7 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     is the sign of the sum.  Entirely portable SQL (md5 + substr), so
     the oracle replays it exactly.
     """
-    tok = docs.select(
+    tok = _fan_out(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     bit_sums = [
@@ -305,6 +322,7 @@ def token_counts_bpe(
         return s.fillna("").map(lambda t: bpe_token_count(t, mt))
 
     t = F.col(text_col)
+    docs = _fan_out(docs.select("doc_id", text_col))
     return docs.select(
         "doc_id",
         bpe_count(t).alias("bpe_tokens"),
@@ -317,7 +335,9 @@ def token_counts_bpe(
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over word n-grams (falls back
     to md5(text) for docs shorter than n words)."""
-    sh = docs.select("doc_id", F.col(text_col).alias("_t"), _shingles(text_col, n).alias("g"))
+    sh = _fan_out(docs.select("doc_id", text_col)).select(
+        "doc_id", F.col(text_col).alias("_t"), _shingles(text_col, n).alias("g")
+    )
     return sh.select(
         "doc_id",
         F.when(F.size("g") > 0, F.array_min(F.transform(F.col("g"), F.md5)))

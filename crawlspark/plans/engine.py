@@ -183,6 +183,25 @@ class CrawlEngine:
     def _empty(self, ddl: str) -> DataFrame:
         return self.spark.createDataFrame([], schema=ddl)
 
+    def _bloom_gate_rows(self, wave_bound: int | None) -> int:
+        """Effective bloom-dormancy threshold in seen rows.
+
+        opts.bloom_min_seen_rows: -1 (default) → the measured-crossover
+        RATIO gate (engage at ratio × the current wave's candidate
+        bound; unknown bound → 0, i.e. engage — dormancy is an
+        optimization, never a correctness knob); 0 → always engage;
+        >0 → absolute row threshold."""
+        gate = self.opts.bloom_min_seen_rows
+        if gate >= 0:
+            return gate
+        if wave_bound is None:
+            return 0
+        if wave_bound == 0:
+            # empty next frontier: nothing will probe the filter, so a
+            # build pass now is a pure loss — stay dormant
+            return 1 << 62
+        return self.opts.bloom_engage_seen_per_wave_ratio * wave_bound
+
     def _ckpt(self, df: DataFrame, name: str, wave: int) -> DataFrame:
         # seed-stage state (wave < 0) lives under seed/, outside the
         # wave=* namespace: every wave=* dir carries a metrics table
@@ -509,9 +528,9 @@ class CrawlEngine:
                 # the exact join never repairs.
                 bloom_df = self._ckpt(initial_bloom, "bloom", -1)
             elif (
-                opts.bloom_min_seen_rows > 0
+                self._bloom_gate_rows(cand_rows) > 0
                 and seen_rows_total is not None
-                and seen_rows_total < opts.bloom_min_seen_rows
+                and seen_rows_total < self._bloom_gate_rows(cand_rows)
             ):
                 # DORMANT below the crossover: at this seen size the
                 # exact join is cheaper than any sidecar, so the bloom
@@ -1360,7 +1379,7 @@ class CrawlEngine:
                 # is an optimization, never a correctness knob.
                 if (
                     seen_rows_total is None
-                    or seen_rows_total >= opts.bloom_min_seen_rows
+                    or seen_rows_total >= self._bloom_gate_rows(cand_rows)
                 ):
                     from crawlspark.operators.seen import (
                         bloom_words,

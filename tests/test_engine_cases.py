@@ -754,7 +754,7 @@ def test_all_scale_options_compose(spark, fixture_pages, tmp_path):
         fixture_pages,
         Options(
             crawl_delay_ms=DELAY,
-            use_bloom_seen=True,
+            use_bloom_seen=True, bloom_min_seen_rows=0,
             bloom_partitions=4,
             bloom_expected_per_partition=1000,
             salt_hot_hosts=True,

@@ -87,7 +87,7 @@ class TestBloomNullHashes:
             PagesSource(pages),
             Options(
                 crawl_delay_ms=1,
-                use_bloom_seen=True,
+                use_bloom_seen=True, bloom_min_seen_rows=0,
                 bloom_probe="cogroup",
                 bloom_partitions=4,
             ),
@@ -199,13 +199,13 @@ class TestBloomLazyFold:
         base = self._crawl(spark, fixture_pages, str(tmp_path / "p"))
         lazy = self._crawl(
             spark, fixture_pages, str(tmp_path / "l"),
-            use_bloom_seen=True, bloom_partitions=4,
+            use_bloom_seen=True, bloom_min_seen_rows=0, bloom_partitions=4,
             bloom_expected_per_partition=1000,
             bloom_fold_min_rows=10_000,  # never folds at fixture scale
         )
         eager = self._crawl(
             spark, fixture_pages, str(tmp_path / "e"),
-            use_bloom_seen=True, bloom_partitions=4,
+            use_bloom_seen=True, bloom_min_seen_rows=0, bloom_partitions=4,
             bloom_expected_per_partition=1000,
             bloom_fold_min_rows=1,  # folds after every wave
         )

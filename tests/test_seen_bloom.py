@@ -131,7 +131,7 @@ def test_engine_with_bloom_cogroup_probe(spark, fixture_pages):
 
     seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
     kw = dict(
-        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_min_seen_rows=0, bloom_partitions=4,
         bloom_expected_per_partition=1000, bloom_fpp=0.01,
     )
     a = CrawlEngine(
@@ -155,7 +155,7 @@ def test_resume_with_bloom_matches_full(spark, fixture_pages, tmp_path):
 
     seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
     bopts = dict(
-        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_min_seen_rows=0, bloom_partitions=4,
         bloom_expected_per_partition=1000, bloom_fpp=0.01,
     )
     full = CrawlEngine(
@@ -189,7 +189,7 @@ def test_engine_with_bloom_matches_exact(spark, fixture_pages):
         fixture_pages,
         Options(
             crawl_delay_ms=100,
-            use_bloom_seen=True,
+            use_bloom_seen=True, bloom_min_seen_rows=0,
             bloom_partitions=4,
             bloom_expected_per_partition=1000,
             bloom_fpp=0.01,
@@ -217,7 +217,7 @@ def test_initial_bloom_prebuilt_matches_build(spark, fixture_pages):
         "url_norm string, host string, wave_added int",
     )
     bopts = dict(
-        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_min_seen_rows=0, bloom_partitions=4,
         bloom_expected_per_partition=1000, bloom_fpp=0.01,
     )
     seeds = ["http://hosta/page1.html"]
@@ -257,7 +257,7 @@ def test_resume_reads_committed_shards(
     from crawlspark.sources.statestore import ParquetStateStore
 
     bopts = dict(
-        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_min_seen_rows=0, bloom_partitions=4,
         bloom_expected_per_partition=1000, bloom_fpp=0.01,
     )
     seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
@@ -316,7 +316,9 @@ def test_bloom_dormant_below_crossover(spark, fixture_pages, tmp_path):
         bloom_expected_per_partition=1000, bloom_fpp=0.01,
     )
     seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
-    engaged = CrawlEngine(spark, fixture_pages, Options(**bopts)).run(seeds)
+    engaged = CrawlEngine(
+        spark, fixture_pages, Options(bloom_min_seen_rows=0, **bopts)
+    ).run(seeds)
     ck = str(tmp_path / "ck_dormant")
     dormant = CrawlEngine(
         spark, fixture_pages,
@@ -365,3 +367,50 @@ def test_bloom_engages_at_crossover(spark, fixture_pages, tmp_path):
     committed = sorted(glob.glob(os.path.join(ck, "*", "bloom")))
     assert committed, "crossing the threshold must commit shard state"
     assert os.path.join(ck, "seed", "bloom") not in committed
+
+
+def test_bloom_default_ratio_gate(spark, fixture_pages, tmp_path):
+    """Default options (bloom_min_seen_rows=-1) derive the dormancy
+    threshold from the measured crossover RATIO (seen ≥ ratio × wave
+    bound): a fixture-scale crawl (seen ≪ 160× the seed count) runs
+    bloom-dormant with counters identical to the engaged run, while a
+    run whose initial seen set already exceeds the ratio engages at
+    run start and commits shard state."""
+    import glob
+    import os
+
+    from crawlspark.config import Options
+    from crawlspark.plans.engine import CrawlEngine
+
+    bopts = dict(
+        crawl_delay_ms=100, use_bloom_seen=True, bloom_partitions=4,
+        bloom_expected_per_partition=1000, bloom_fpp=0.01,
+    )
+    seeds = ["http://hosta/page1.html", "http://hosta/page4.html"]
+    engaged = CrawlEngine(
+        spark, fixture_pages, Options(bloom_min_seen_rows=0, **bopts)
+    ).run(seeds)
+    ck = str(tmp_path / "ck_ratio_dormant")
+    auto = CrawlEngine(
+        spark, fixture_pages, Options(checkpoint_dir=ck, **bopts)
+    ).run(seeds)  # default gate: 160 × 2 seeds = 320 ≫ fixture seen
+    assert auto.counters.visit == engaged.counters.visit == 5
+    assert auto.counters.filter == engaged.counters.filter == 13
+    s1 = {r[0] for r in engaged.seen.select("url_norm").collect()}
+    s2 = {r[0] for r in auto.seen.select("url_norm").collect()}
+    assert s1 == s2
+    assert glob.glob(os.path.join(ck, "*", "bloom")) == []
+
+    # 2 seeds × ratio 160 = 320 < 400 initial-seen rows → engages with
+    # one build pass at run start (shard state committed at seed stage)
+    big_seen = spark.range(400).select(
+        F.concat(F.lit("http://big.seen/p"), F.col("id")).alias("url_norm"),
+        F.lit("big.seen").alias("host"),
+        F.lit(-1).alias("wave_added"),
+    )
+    ck2 = str(tmp_path / "ck_ratio_engaged")
+    eng2 = CrawlEngine(
+        spark, fixture_pages, Options(checkpoint_dir=ck2, **bopts)
+    ).run(seeds, initial_seen=big_seen)
+    assert eng2.counters.visit == engaged.counters.visit == 5
+    assert glob.glob(os.path.join(ck2, "*", "bloom")) != []
