@@ -56,6 +56,41 @@ _FAST_URL_RX = (
 )
 _DIR_INDEX_RX = r"(?i)(?:^|/)(?:index|default)\.\w{1,4}/?$"
 
+# Fast path #2 (ALL_GREEDY): the broader mixed-case shape the identity
+# fast path above rejects — any-case http(s) scheme, any-case host
+# (first char of every label a LETTER, which keeps the host outside
+# every numeric-decode rule: dword/octal/hex all fullmatch digit/0x
+# forms), optional port, optional "www.", unescaped path (dot segments
+# allowed — resolved exactly via _remove_dot_segments; "//" excluded by
+# construction), unescaped query ('%'-free, so purell's decode-and-sort
+# degenerates to a plain sort), any fragment (dropped).  Everything the
+# slow path would do to such a URL is either a vectorizable string op
+# or a cheap per-row fixup on one component.
+_FAST2_URL_RX = (
+    r"[Hh][Tt][Tt][Pp][Ss]?://"
+    r"(?P<f2host>[A-Za-z][A-Za-z0-9-]*(?:\.[A-Za-z][A-Za-z0-9-]*)+)"
+    r"(?P<f2port>:\d{1,5})?"
+    r"(?P<f2path>(?:/[A-Za-z0-9_.~!$&'()*+,;=:@-]+)*/?)"
+    r"(?:\?(?P<f2query>[A-Za-z0-9_.~=&+;:@/-]*))?"
+    r"(?:\#(?P<f2frag>\S*))?"
+)
+
+
+def _sort_query(query: str) -> str:
+    """purell SORT_QUERY over a '%'-free query string (unquote is the
+    identity there): keys sorted, values sorted within a key."""
+    pairs: dict[str, list[str]] = {}
+    for part in query.split("&"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        pairs.setdefault(k, []).append(v)
+    out = []
+    for k in sorted(pairs):
+        for v in sorted(pairs[k]):
+            out.append(f"{k}={v}")
+    return "&".join(out)
+
 
 def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
     """Vectorized kernel behind the canonicalize UDF (testable sans Spark).
@@ -102,7 +137,63 @@ def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
         )
         out.loc[fast, "is_abs_http"] = True
 
-    slow = notnull & ~fast
+    fast2 = pd.Series([False] * n, dtype="bool")
+    if flags == NF.all_greedy() and bool((notnull & ~fast).any()):
+        import re as _re
+
+        u2 = url.where(notnull & ~fast, "")
+        fast2 = (notnull & ~fast) & u2.str.fullmatch(_FAST2_URL_RX)
+        if bool(fast2.any()):
+            g = u2[fast2].str.extract(_FAST2_URL_RX)
+            scheme_https = u2[fast2].str.slice(0, 5).str.lower() == "https"
+            host_l = g["f2host"].str.lower()
+            www = host_l.str.startswith("www.") & (host_l.str.len() > 4)
+            bare = host_l.where(~www, host_l.str[4:])
+            port = g["f2port"].fillna("")
+            # REMOVE_DEFAULT_PORT against the ORIGINAL scheme, pre-FORCE_HTTP
+            default_port = (scheme_https & (port == ":443")) | (
+                ~scheme_https & (port == ":80")
+            )
+            port = port.where(~default_port, "")
+            raw_path = g["f2path"].fillna("")
+            dotted = raw_path.str.contains(r"(?:^|/)\.{1,2}(?:/|$)", regex=True)
+            path2 = raw_path.copy()
+            if bool(dotted.any()):
+                path2.loc[dotted] = raw_path[dotted].map(
+                    _urlnorm._remove_dot_segments
+                )
+            # REMOVE_DIRECTORY_INDEX is anchored at end-of-path with no
+            # trailing slash: applied to the RESOLVED path; matching
+            # rows take the slow path instead of replicating the rule
+            dir_rx = _re.compile(r"(?:^|/)(?i:index|default)\.\w{1,4}$")
+            dir_hit = path2.str.contains(dir_rx, regex=True)
+            if bool(dir_hit.any()):
+                demote = fast2.copy()
+                demote[:] = False
+                demote.loc[dir_hit[dir_hit].index] = True
+                fast2 &= ~demote
+                keep = ~dir_hit
+                g = g[keep]
+                scheme_https, host_l = scheme_https[keep], host_l[keep]
+                bare, port = bare[keep], port[keep]
+                raw_path, path2 = raw_path[keep], path2[keep]
+            # trailing-slash strip runs LAST in the slow path
+            path2 = path2.where(~path2.str.endswith("/"), path2.str[:-1])
+            query = g["f2query"].fillna("")
+            has_q = query != ""
+            if bool(has_q.any()):
+                query.loc[has_q] = query[has_q].map(_sort_query)
+            hostport = bare + port
+            norm2 = "http://" + hostport + path2 + ("?" + query).where(
+                query != "", ""
+            )
+            out.loc[fast2, "url_norm"] = norm2
+            out.loc[fast2, "host"] = hostport
+            out.loc[fast2, "path"] = path2
+            out.loc[fast2, "is_robots"] = raw_path.str.lower() == "/robots.txt"
+            out.loc[fast2, "is_abs_http"] = True
+
+    slow = notnull & ~fast & ~fast2
     if bool(slow.any()):
         from urllib.parse import urlsplit
 

@@ -74,15 +74,27 @@ def minhash_signatures(
     Min-wise hashing with k independent salted md5s (md5 is uniform
     enough and — unlike xxhash — identical across engines, so the
     DuckDB oracle can replay it).  Output: doc_id, sig_0..sig_{k-1}.
+
+    Computed as a per-row ``array_min(transform(...))`` over the
+    shingle array — NO explode, NO shuffle: the explode+groupBy form
+    paid an Exchange plus two SortAggregates (min over strings has no
+    hash-aggregate buffer) over every shingle row for a value each doc
+    can fold locally.  Row set is identical: explode drops empty
+    shingle arrays, so short docs are filtered here the same way;
+    array_min uses the same UTF8 binary ordering as min().
     """
-    sh = _fan_out(docs.select("doc_id", text_col)).select(
-        "doc_id", F.explode(_shingles(text_col, shingle_n)).alias("shingle")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"sig_{k}")
+    base = _fan_out(docs.select("doc_id", text_col)).select(
+        "doc_id", _shingles(text_col, shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))
+            )
+        ).alias(f"sig_{k}")
         for k in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.select("doc_id", *sigs)
 
 
 def lsh_candidate_pairs(
@@ -111,6 +123,17 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # ONE deliberate exchange on the join key: both sides of the band
+    # self-join sit above this same shuffle, so the signature
+    # computation runs once and side b becomes a ReusedExchange.
+    # Without it the narrow sig projection (array_min per row — no
+    # natural shuffle boundary anymore) is recomputed per join side,
+    # or worse re-evaluated to build a broadcast.  The banded rows are
+    # doc_id + band + a 2-hash key — metadata-sized relative to the
+    # shingle relation this exchange replaced.
+    banded = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism, "band", "key"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -196,11 +219,10 @@ def dedup_pipeline(
     )
     if persist:
         sh_all = sh_all.persist()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"sig_{k}")
-        for k in range(num_hashes)
-    ]
-    sigs = sh_all.groupBy("doc_id").agg(*aggs)
+    # signatures fold per row (array_min over the shingle array — see
+    # minhash_signatures): cheaper than sharing sh_all's explode, which
+    # forced an Exchange + two string SortAggregates per consumer
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
     if persist:
         sigs = sigs.persist()
     banded_pairs = lsh_candidate_pairs(

@@ -269,6 +269,30 @@ class TestCanonicalizeSeriesParity:
         urls = [s + h + p for s in schemes for h in hosts for p in paths]
         self._check(urls)
 
+    def test_generated_property_fast2_shapes(self):
+        # the mixed-case fast path (#2) boundary: any-case scheme/host,
+        # default and non-default ports, www, dot segments, sortable
+        # queries with duplicate keys, fragments
+        schemes = ["HTTPS://", "HtTp://", "https://", "http://"]
+        hosts = ["WWW.Host7.Example", "Host7.Example", "www.h.ex",
+                 "aB-c.De.Fg", "h.ex"]
+        ports = ["", ":443", ":80", ":8080", ":0443"]
+        paths = ["", "/", "/a/../p5.html", "/A/B.c", "/x/./y/",
+                 "/a/../..", "/seg/..", "/..", "/index.html",
+                 "/x/index.html/..", "/p;v=1", "/p:q@r"]
+        queries = ["", "?b=2&a=1", "?a=1&a=0&b=", "?k", "?x=a+b&x=a",
+                   "?=v&k=", "?A=1&a=2"]
+        frags = ["", "#f", "#a/b?c"]
+        urls = [
+            s + h + p + pa + q + f
+            for s in schemes for h in hosts[:3] for p in ports
+            for pa in paths for q in queries[:4] for f in frags[:2]
+        ] + [
+            "http://" + h + pa + q + f
+            for h in hosts for pa in paths[:6] for q in queries for f in frags
+        ]
+        self._check(urls)
+
     def test_non_greedy_flags_take_slow_path(self):
         self._check(
             ["http://h.ex/a", "http://h.ex/a/", "http://www.h.ex/p"],
