@@ -362,6 +362,24 @@ class CrawlEngine:
                 .distinct()
             )
 
+        # the initial_seen commit (mid-frontier mode: can be 10^7+ rows)
+        # is independent of every seed-stage table — overlap it with the
+        # seed commits instead of serializing a full-table write between
+        # seed setup and wave 0
+        _f_initial_seen = None
+        if (
+            initial_seen is not None
+            and self._store is not None
+            and not resume_state
+            and opts.parallel_checkpoints
+        ):
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            _iseen_pool = _TPE(1)
+            _f_initial_seen = _iseen_pool.submit(
+                self._store.commit, initial_seen, "seen_inc", -1
+            )
+
         if opts.parallel_checkpoints and not isinstance(seeds, DataFrame):
             # the two seed-stage commits are independent jobs — overlap
             # them.  Safe ONLY for list/str seeds: their candidates plan
@@ -424,7 +442,11 @@ class CrawlEngine:
             # silently forget initial_seen (re-admitting and re-crawling
             # already-seen URLs) unless a compaction snapshot happened
             # to fire before the crash.
-            initial_seen = self._store.commit(initial_seen, "seen_inc", -1)
+            if _f_initial_seen is not None:
+                initial_seen = _f_initial_seen.result()
+                _iseen_pool.shutdown()
+            else:
+                initial_seen = self._store.commit(initial_seen, "seen_inc", -1)
         self._has_initial_seen = initial_seen is not None
         # driver-known seen row count (commit metadata only — never a
         # count() job); None = unknown, which disables bloom dormancy
