@@ -175,6 +175,13 @@ class Options:
     # wave below the threshold.
     salt_hot_hosts: bool = False
     salt_buckets: int = 0  # 0 → defaultParallelism * 2
+    # Residual exposure (documented, ADVICE r5): hot detection reads the
+    # PREVIOUS wave's per-host batch sizes, so a host that jumps from
+    # ~0 to far beyond this threshold within ONE wave sorts its whole
+    # window group in one task for that wave (slow tail / memory
+    # pressure, never a wrong result — the salted path is bit-identical
+    # for any hot list) and salts from the next wave on.  The per-host
+    # jump is unbounded even though aggregate wave growth is ~3x/hop.
     salt_threshold_rows: int = 1_000_000
     bloom_partitions: int = 32
     bloom_expected_per_partition: int = 1_000_000

@@ -207,9 +207,11 @@ def lang_id_trigram(
     # fan the single-split scan out BEFORE the explode: the trigram
     # Generate + broadcast-join probe is per-character CPU work that
     # otherwise runs in one scan task (guide §2.5/§6)
-    lowered = docs.select(
-        "doc_id", F.lower(F.col(text_col)).alias("_t")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    from crawlspark.util import fan_out
+
+    lowered = fan_out(
+        docs.select("doc_id", F.lower(F.col(text_col)).alias("_t"))
+    )
     t = F.col("_t")
     # guard: sequence(0, -1) would DESCEND in Spark; short texts get an
     # empty index array instead

@@ -309,7 +309,9 @@ def media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # fan the (narrow) id rows across the executor parallelism: blob
     # synthesis + the downstream decode kernels are pure per-row CPU,
     # and a single-split parquet scan would otherwise run them serially
-    src = src.repartition(src.sparkSession.sparkContext.defaultParallelism)
+    from crawlspark.util import fan_out
+
+    src = fan_out(src)
 
     def gen(batches):
         import pandas as pd

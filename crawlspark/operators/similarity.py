@@ -34,9 +34,9 @@ def _dot(a, b):
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow single-split scan across the executor
-    parallelism before per-row vector arithmetic (guide §2.5/§6)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from crawlspark.util import fan_out
+
+    return fan_out(df)
 
 
 def _srp_bucket_from_q(q_col, planes: int):

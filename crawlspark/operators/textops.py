@@ -35,11 +35,9 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across the executor parallelism before
-    CPU-heavy per-row work (guide §2.5/§6: a small parquet input arrives
-    as ONE split, so shingling/hashing would run on a single core no
-    matter the cluster size; the rows are tiny, the shuffle is cheap)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from crawlspark.util import fan_out
+
+    return fan_out(df)
 
 
 def _shingles(text_col: str, n: int = 3):

@@ -453,6 +453,12 @@ class CrawlEngine:
         seen_rows_total: int | None = 0
         if resume_state:
             seen_rows_total = None
+            if opts.broadcast_seen_max_rows > 0:
+                self._log(
+                    LogFlags.INFO,
+                    "broadcast_seen_max_rows set but seen row count "
+                    "unknown on resume — shuffle-join path in use",
+                )
         elif initial_seen is not None:
             seen_rows_total = (
                 self._store.rows("seen_inc", -1)
@@ -817,8 +823,15 @@ class CrawlEngine:
                 head_possible = (
                     opts.head_before_get or ext.head_factory is not None
                 )
-                abs_thresh = opts.salt_threshold_rows // (
-                    2 if head_possible else 1
+                # floor at 1 (ADVICE r5): salt_threshold_rows=1 with a
+                # possible HEAD phase would integer-divide to 0 and the
+                # `thresh > 0` gate below would silently disable hot
+                # detection despite salt_hot_hosts=True; 0 keeps its
+                # "never salt" meaning
+                abs_thresh = (
+                    max(1, opts.salt_threshold_rows // (2 if head_possible else 1))
+                    if opts.salt_threshold_rows > 0
+                    else 0
                 )
                 thresh = abs_thresh
                 if upper is not None:
@@ -1331,6 +1344,19 @@ class CrawlEngine:
             if seen_rows_total is not None and _inc_n is not None:
                 seen_rows_total += _inc_n
             else:
+                if (
+                    seen_rows_total is not None
+                    and opts.broadcast_seen_max_rows > 0
+                ):
+                    # ADVICE r5: the broadcast-seen hint silently no-ops
+                    # whenever the seen row count is unknown (non-durable
+                    # mode / resume without metadata) — say so once
+                    self._log(
+                        LogFlags.INFO,
+                        "broadcast_seen_max_rows set but seen row count "
+                        "unknown from commit metadata — shuffle-join path "
+                        "in use",
+                    )
                 seen_rows_total = None
             # increment compaction (Iceberg rewrite analog): collapse the
             # O(waves) union into one snapshot so the next wave's probe
