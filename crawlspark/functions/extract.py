@@ -114,6 +114,11 @@ _A_TAG_RX = re.compile(r"<a(?=[\s/>])([^>]*)>")
 # \s anchor: in the validated grammar every attribute is preceded by
 # whitespace, and it keeps data-href-style names from matching
 _HREF_RX = re.compile(r"\shref=\"([^\"]*)\"")
+# fused a-tag+href capture: on a validated document "<" never occurs
+# inside a tag body, so the lazy [^>]*? cannot cross tags and this
+# finds exactly the FIRST href of every <a ...> start tag in one C
+# pass (a-tags without an href simply don't match)
+_A_HREF_RX = re.compile(r"<a(?=[\s/>])[^>]*?\shref=\"([^\"]*)\"")
 
 
 class _FastPage:
@@ -129,16 +134,11 @@ def _parse_simple(html: str) -> _FastPage | None:
     """Regex parse for the restricted profile; None → caller falls back."""
     if "\x00" in html or _FORBIDDEN_RX.search(html) or not _SIMPLE_RX.match(html):
         return None
-    hrefs = []
-    for m in _A_TAG_RX.finditer(html):
-        hm = _HREF_RX.search(m.group(1))
-        if hm:
-            hrefs.append(hm.group(1))
-    chunks = [
-        c
-        for c in (s.strip() for s in _ANY_TAG_RX.sub("\x00", html).split("\x00"))
-        if c
-    ]
+    # both extraction passes run at C speed on the validated profile:
+    # hrefs in one fused findall, text chunks via split on the tags
+    # (split pieces ARE the inter-tag texts — no sentinel round-trip)
+    hrefs = _A_HREF_RX.findall(html)
+    chunks = [c for c in map(str.strip, _ANY_TAG_RX.split(html)) if c]
     return _FastPage(hrefs, chunks)
 
 

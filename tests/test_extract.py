@@ -115,7 +115,13 @@ _tagish = st.sampled_from(
     ["<a href=\"x.html\">", "</a>", "<p>", "<br/>", "<div class=\"c\">",
      "<a href=\"/a/b.html\">", "<a>", "<A HREF=\"y\">", "<base href=\"/b/\">",
      "<script>var x;</script>", "<!-- c -->", "&amp;", "<a href='sq.html'>",
-     "<a data-href=\"no.html\">", "<a href=\"\">", "<a href=\"#f\">"]
+     "<a data-href=\"no.html\">", "<a href=\"\">", "<a href=\"#f\">",
+     # shapes that stress the fused one-pass href findall: non-first
+     # href attrs, duplicate hrefs in one tag, self-closing a, adjacent
+     # a-tags, end tags carrying attrs, near-miss tag names
+     "<a class=\"c\" href=\"late\">", "<a  href=\"two\" href=\"second\">",
+     "<a href=\"v\"/>", "<a href=\"a\"><a href=\"b\">",
+     "</div class=\"x\">", "<aa href=\"notanchor\">", "<a1 href=\"x\">"]
 )
 _textish = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
