@@ -78,7 +78,23 @@ _FAST2_URL_RX = (
 
 def _sort_query(query: str) -> str:
     """purell SORT_QUERY over a '%'-free query string (unquote is the
-    identity there): keys sorted, values sorted within a key."""
+    identity there): keys sorted, values sorted within a key.
+
+    Fast path: one or two parts, each with exactly one "=" — the sort
+    is then the identity (one part) or a single compare-and-swap on
+    (key, value), and the rebuilt "k=v" equals the original part, so
+    no restringify is needed."""
+    amp = query.find("&")
+    if amp == -1:
+        if query.count("=") == 1:
+            return query
+    elif "&" not in query[amp + 1 :]:
+        p1, p2 = query[:amp], query[amp + 1 :]
+        if p1.count("=") == 1 and p2.count("=") == 1:
+            e1, e2 = p1.index("="), p2.index("=")
+            if (p2[:e2], p2[e2 + 1 :]) < (p1[:e1], p1[e1 + 1 :]):
+                return p2 + "&" + p1
+            return query
     pairs: dict[str, list[str]] = {}
     for part in query.split("&"):
         if not part:
@@ -90,6 +106,25 @@ def _sort_query(query: str) -> str:
         for v in sorted(pairs[k]):
             out.append(f"{k}={v}")
     return "&".join(out)
+
+
+# scalar fast path for the kernel's dot-segment resolution (the oracle
+# `_urlnorm._remove_dot_segments` stays untouched so property tests keep
+# a pure reference): with EXACTLY one dot segment, of the form
+# "/seg/../" with a following slash, RFC 3986 remove_dot_segments
+# reduces to deleting "seg/../" — one compiled substitution.  ("seg"
+# cannot itself be a dot segment, or the count would be 2; a trailing
+# "/.." keeps a popped trailing slash and stays on the slow function.)
+import re as _re_mod
+
+_DOTSEG_SCAN_RX = _re_mod.compile(r"(?:^|/)\.{1,2}(?=/|\Z)")
+_ONE_DOTDOT_RX = _re_mod.compile(r"/[^/]+/\.\./")
+
+
+def _rds_fast(path: str) -> str:
+    if len(_DOTSEG_SCAN_RX.findall(path)) == 1 and _ONE_DOTDOT_RX.search(path):
+        return _ONE_DOTDOT_RX.sub("/", path, count=1)
+    return _urlnorm._remove_dot_segments(path)
 
 
 def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
@@ -113,11 +148,12 @@ def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
     notnull = url.notna()
     if flags == NF.all_greedy() and bool(notnull.any()):
         u = url.where(notnull, "")
-        fast = (
-            notnull
-            & u.str.fullmatch(_FAST_URL_RX)
-            & ~u.str.contains(_DIR_INDEX_RX, regex=True)
-        )
+        fast = notnull & u.str.fullmatch(_FAST_URL_RX)
+        if bool(fast.any()):
+            # the directory-index scan only matters for shape-matching
+            # rows — run it on that subset, not the whole batch
+            dir_hit = u[fast].str.contains(_DIR_INDEX_RX, regex=True)
+            fast.loc[dir_hit[dir_hit].index] = False
     else:
         fast = pd.Series([False] * n, dtype="bool")
 
@@ -142,9 +178,13 @@ def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
         import re as _re
 
         u2 = url.where(notnull & ~fast, "")
-        fast2 = (notnull & ~fast) & u2.str.fullmatch(_FAST2_URL_RX)
+        # one anchored extract doubles as the fullmatch gate (a row is
+        # fast2 iff the mandatory host group matched) — the shape regex
+        # runs once per row instead of twice
+        g_all = u2.str.extract(r"\A(?:" + _FAST2_URL_RX + r")\Z")
+        fast2 = (notnull & ~fast) & g_all["f2host"].notna()
         if bool(fast2.any()):
-            g = u2[fast2].str.extract(_FAST2_URL_RX)
+            g = g_all[fast2]
             scheme_https = u2[fast2].str.slice(0, 5).str.lower() == "https"
             host_l = g["f2host"].str.lower()
             www = host_l.str.startswith("www.") & (host_l.str.len() > 4)
@@ -159,9 +199,7 @@ def canonicalize_series(url: pd.Series, flags: NF) -> pd.DataFrame:
             dotted = raw_path.str.contains(r"(?:^|/)\.{1,2}(?:/|$)", regex=True)
             path2 = raw_path.copy()
             if bool(dotted.any()):
-                path2.loc[dotted] = raw_path[dotted].map(
-                    _urlnorm._remove_dot_segments
-                )
+                path2.loc[dotted] = raw_path[dotted].map(_rds_fast)
             # REMOVE_DIRECTORY_INDEX is anchored at end-of-path with no
             # trailing slash: applied to the RESOLVED path; matching
             # rows take the slow path instead of replicating the rule
