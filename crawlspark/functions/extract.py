@@ -107,7 +107,10 @@ class _PageParser(HTMLParser):
 # the (text|tag)* loop backtracks exponentially on long non-matching
 # documents (hypothesis found this immediately)
 _TAG_BODY = r"/?+[a-z][a-z0-9]*+(?:\s++[a-z-]++=\"[^\"<>&]*+\")*+\s*+/?"
-_SIMPLE_RX = re.compile(r"(?:[^<&]++|<" + _TAG_BODY + r">)*+\Z")
+# unroll-the-loop form of (?:[^<&]++|<TAG>)*+\Z — same language, no
+# per-position alternation retry (text runs and tags start with
+# disjoint characters)
+_SIMPLE_RX = re.compile(r"[^<&]*+(?:<" + _TAG_BODY + r">[^<&]*+)*+\Z")
 _FORBIDDEN_RX = re.compile(r"<(?:script|style|template|noscript|base)\b")
 _ANY_TAG_RX = re.compile(r"<[^>]*>")
 _A_TAG_RX = re.compile(r"<a(?=[\s/>])([^>]*)>")
