@@ -298,3 +298,53 @@ class TestCanonicalizeSeriesParity:
             ["http://h.ex/a", "http://h.ex/a/", "http://www.h.ex/p"],
             flags=FLAGS_USUALLY_SAFE_NON_GREEDY,
         )
+
+
+def test_sort_query_fast_paths_match_generic():
+    # the 1/2-part compare-and-swap fast paths inside _sort_query must
+    # agree with the generic dict-sort on every part shape, including
+    # empty keys/values, missing '=', duplicate keys, and empty parts
+    from crawlspark.functions.udfs import _sort_query
+
+    def gold(query):
+        pairs = {}
+        for part in query.split("&"):
+            if not part:
+                continue
+            k, _, v = part.partition("=")
+            pairs.setdefault(k, []).append(v)
+        return "&".join(
+            f"{k}={v}" for k in sorted(pairs) for v in sorted(pairs[k])
+        )
+
+    cases = [
+        "", "a=1", "b=2&a=1", "a=1&a=0", "k=&k2=v", "=1&=0", "a&b",
+        "a=1&b", "b&a=1", "x=3&x=1&x=2", "a==b&c=1", "k=v&k=v", "z=1&a",
+        "=&=", "a=2&a=10", "B=1&a=2", "q=a/b&p=c:d", "a", "&", "&&",
+        "a=1&", "&a=1", "==", "a==1&b=2", "k=v", "a=&a", "a1=x&a=y",
+    ]
+    parts = ["a=1", "b=2", "a=0", "a", "b", "", "=", "k=", "=v", "a==b", "B=0"]
+    for i in range(len(parts)):
+        for j in range(len(parts)):
+            cases.append(parts[i] + "&" + parts[j])
+    for q in cases:
+        assert _sort_query(q) == gold(q), q
+
+
+def test_rds_fast_matches_rfc_oracle():
+    # the single-'/seg/../' substitution fast path must agree with the
+    # untouched RFC 3986 oracle on every dot-segment arrangement
+    from itertools import product
+
+    from crawlspark.functions.udfs import _rds_fast
+    from crawlspark.functions.urlnorm import _remove_dot_segments
+
+    segs = ["a", "b", ".", "..", "...", "a.b", ".x", ""]
+    paths = set()
+    for k in range(4):
+        for combo in product(segs, repeat=k):
+            p = "".join("/" + s for s in combo)
+            paths.add(p)
+            paths.add(p + "/")
+    for p in sorted(paths):
+        assert _rds_fast(p) == _remove_dot_segments(p), repr(p)
