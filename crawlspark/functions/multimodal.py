@@ -54,15 +54,25 @@ _CVID_MAGIC = b"CVID"
 
 def encode_bmp(width: int, height: int, pix) -> bytes:
     """24-bit BI_RGB BMP; ``pix(i)`` gives the gray value of pixel i in
-    TOP-DOWN raster order (rows are written bottom-up per the format)."""
+    TOP-DOWN raster order (rows are written bottom-up per the format).
+    ``pix`` may also be an ndarray of the w*h gray values (same raster
+    order) — the pixel loop then runs vectorized, byte-identical."""
     row_bytes = width * 3
     pad = (4 - row_bytes % 4) % 4
-    img = bytearray()
-    for y in range(height - 1, -1, -1):
-        for x in range(width):
-            v = pix(y * width + x) & 0xFF
-            img += bytes((v, v, v))
-        img += b"\x00" * pad
+    if isinstance(pix, np.ndarray):
+        a = (pix.astype(np.int64) & 0xFF).astype(np.uint8)
+        a = a.reshape(height, width)[::-1]  # rows bottom-up
+        rows = np.zeros((height, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = np.repeat(a, 3, axis=1)  # (v, v, v)
+        img = rows.tobytes()
+    else:
+        buf = bytearray()
+        for y in range(height - 1, -1, -1):
+            for x in range(width):
+                v = pix(y * width + x) & 0xFF
+                buf += bytes((v, v, v))
+            buf += b"\x00" * pad
+        img = bytes(buf)
     header = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img),
@@ -72,8 +82,12 @@ def encode_bmp(width: int, height: int, pix) -> bytes:
 
 
 def encode_wav(samples, rate: int) -> bytes:
-    """PCM16 mono RIFF/WAVE from an int16 iterable."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    """PCM16 mono RIFF/WAVE from an int16 iterable (or ndarray of
+    values already in [-32768, 32767] — then packed vectorized)."""
+    if isinstance(samples, np.ndarray):
+        data = samples.astype("<i2").tobytes()
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
     return (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
@@ -83,11 +97,15 @@ def encode_wav(samples, rate: int) -> bytes:
 
 def encode_cvid(width: int, height: int, fps: int, frames) -> bytes:
     """CVID container: magic + dims/fps/nframes + raw grayscale frames
-    (one byte per pixel, top-down), each ``frames[f](i)`` a pixel fn."""
+    (one byte per pixel, top-down), each ``frames[f](i)`` a pixel fn —
+    or an ndarray of the w*h gray values, packed vectorized."""
     out = bytearray(_CVID_MAGIC)
     out += struct.pack("<IIII", width, height, fps, len(frames))
     for pix in frames:
-        out += bytes(pix(i) & 0xFF for i in range(width * height))
+        if isinstance(pix, np.ndarray):
+            out += (pix.astype(np.int64) & 0xFF).astype(np.uint8).tobytes()
+        else:
+            out += bytes(pix(i) & 0xFF for i in range(width * height))
     return bytes(out)
 
 
@@ -269,20 +287,22 @@ def _media_params(mid: int) -> dict:
 
 def synthesize_media_blob(mid: int) -> tuple[str, bytes]:
     """(kind, payload) with REAL encoded bytes from the deterministic
-    per-id parameters (see ``_media_params`` for the oracle formulas)."""
+    per-id parameters (see ``_media_params`` for the oracle formulas).
+    The affine per-pixel/sample formulas evaluate as numpy arrays and
+    take the encoders' vectorized paths — bytes identical to the
+    per-element lambdas (pinned by test_multimodal)."""
     p = _media_params(mid)
     if p["kind"] == "image":
-        return "image", encode_bmp(
-            p["w"], p["h"], lambda i: (mid * 31 + i * 7) % 256
-        )
+        idx = np.arange(p["w"] * p["h"], dtype=np.int64)
+        return "image", encode_bmp(p["w"], p["h"], (mid * 31 + idx * 7) % 256)
     if p["kind"] == "audio":
+        idx = np.arange(p["n"], dtype=np.int64)
         return "audio", encode_wav(
-            [((mid * 7 + i * 13) % 65536) - 32768 for i in range(p["n"])],
-            p["rate"],
+            ((mid * 7 + idx * 13) % 65536) - 32768, p["rate"]
         )
+    idx = np.arange(p["w"] * p["h"], dtype=np.int64)
     frames = [
-        (lambda f: lambda i: (mid * 17 + f * 101 + i * 3) % 256)(f)
-        for f in range(p["nframes"])
+        (mid * 17 + f * 101 + idx * 3) % 256 for f in range(p["nframes"])
     ]
     return "video", encode_cvid(p["w"], p["h"], p["fps"], frames)
 

@@ -92,3 +92,34 @@ def test_synthesize_blob_magic():
     assert synthesize_media_blob(0)[1][:2] == b"BM"
     assert synthesize_media_blob(1)[1][:4] == b"RIFF"
     assert synthesize_media_blob(2)[1][:4] == b"CVID"
+
+
+def test_encoder_array_paths_byte_identical():
+    # the encoders' vectorized ndarray paths must emit the same bytes
+    # as the per-element callable/iterable paths, padding included
+    import numpy as np
+
+    from crawlspark.functions.multimodal import (
+        encode_bmp,
+        encode_cvid,
+        encode_wav,
+    )
+
+    for mid in [0, 3, 7, 12, 41, 100003]:
+        for w, h in [(8, 6), (9, 7), (10, 5), (1, 1), (13, 11)]:
+            fn = lambda i: (mid * 31 + i * 7) % 256
+            arr = (mid * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256
+            assert encode_bmp(w, h, fn) == encode_bmp(w, h, arr), (mid, w, h)
+        n = 200 + mid % 50
+        vals = [((mid * 7 + i * 13) % 65536) - 32768 for i in range(n)]
+        assert encode_wav(vals, 8000) == encode_wav(np.asarray(vals), 8000)
+        w, h, nf = 8 + mid % 4, 8, 5 + mid % 6
+        fns = [
+            (lambda f: lambda i: (mid * 17 + f * 101 + i * 3) % 256)(f)
+            for f in range(nf)
+        ]
+        arrs = [
+            (mid * 17 + f * 101 + np.arange(w * h, dtype=np.int64) * 3) % 256
+            for f in range(nf)
+        ]
+        assert encode_cvid(w, h, 10, fns) == encode_cvid(w, h, 10, arrs), mid
